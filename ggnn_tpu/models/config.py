@@ -1,0 +1,58 @@
+"""Model configuration (SURVEY.md §5.6: typed dataclass configs).
+
+Canonical hyperparameters follow the reference family / paper
+(SURVEY.md §2.2): ``state_dim=4, annotation_dim=1, n_steps=5``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    state_dim: int = 4            # D
+    annotation_dim: int = 1       # A
+    n_edge_types: int = 4         # E (logical; message types = 2E)
+    n_steps: int = 5              # T propagation steps
+    head: str = "node_select"     # node_select | per_node | graph_gated | ggsnn
+    hidden_dim: int = 0           # head MLP hidden (0 → state_dim)
+    n_classes: int = 1            # graph classes / per-node classes / seq vocab
+    graph_dim: int = 0            # gated-readout width (0 → state_dim)
+    n_rounds: int = 1             # GGS-NN output rounds (= max_seq_len)
+    agg_strategy: str = "node_transform"   # ops.segment strategy
+    backend: str = "xla"          # 'xla' | 'pallas'
+    param_dtype: str = "float32"
+
+    @property
+    def n_message_types(self) -> int:
+        return 2 * self.n_edge_types
+
+    @property
+    def head_hidden(self) -> int:
+        return self.hidden_dim or self.state_dim
+
+    @property
+    def readout_dim(self) -> int:
+        return self.graph_dim or self.state_dim
+
+
+def model_config_for_task(task_spec, state_dim: int = 4, n_steps: int = 5,
+                          **overrides) -> ModelConfig:
+    """Build a ModelConfig from a :class:`ggnn_tpu.data.babi.TaskSpec`."""
+    n_classes = {
+        "node_select": 1,
+        "per_node": max(task_spec.n_classes, 1),
+        "graph_gated": task_spec.n_classes,
+        "ggsnn": task_spec.n_classes,
+    }[task_spec.head]
+    return ModelConfig(
+        state_dim=state_dim,
+        annotation_dim=task_spec.annotation_dim,
+        n_edge_types=task_spec.n_edge_types,
+        n_steps=n_steps,
+        head=task_spec.head,
+        n_classes=n_classes,
+        n_rounds=task_spec.max_seq_len if task_spec.head == "ggsnn" else 1,
+        **overrides,
+    )

@@ -1,0 +1,82 @@
+"""GGNN propagation core: T-step typed-message + GRU recurrence under lax.scan.
+
+TPU-first redesign of the reference's Python step loop over dense ``bmm``
+(SURVEY.md §3.2): typed sparse aggregation (ops.segment / ops.spmm_pallas)
+feeding a GRU whose three a-projections are fused into one [D, 3D] matmul
+for the MXU; the whole recurrence is a single ``lax.scan`` inside jit
+(SURVEY.md §2.1 C5/C6).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.models.config import ModelConfig
+from ggnn_tpu.ops.segment import typed_aggregate
+
+
+def init_state(annotations: jax.Array, state_dim: int) -> jax.Array:
+    """h^(1) = pad(x, D) (SURVEY.md §2.3)."""
+    n, a = annotations.shape
+    return jnp.pad(annotations, ((0, 0), (0, state_dim - a)))
+
+
+def gru_update(gru: dict, h: jax.Array, a: jax.Array,
+               fused: tuple | None = None) -> jax.Array:
+    """GRU cell (SURVEY.md §2.1 C6).  If ``fused`` is given it is the
+    precomputed (W_a[D,3D], b[3D], U_zr[D,2D]) concatenation — one MXU pass
+    for all three a-projections and one for the z/r h-projections."""
+    D = h.shape[-1]
+    if fused is None:
+        fused = fuse_gru(gru)
+    w_a, b_all, u_zr = fused
+    proj_a = jnp.dot(a, w_a, preferred_element_type=jnp.float32) + b_all
+    proj_h = jnp.dot(h, u_zr, preferred_element_type=jnp.float32)
+    az, ar, ah = proj_a[..., :D], proj_a[..., D:2 * D], proj_a[..., 2 * D:]
+    hz, hr = proj_h[..., :D], proj_h[..., D:]
+    z = jax.nn.sigmoid(az + hz)
+    r = jax.nn.sigmoid(ar + hr)
+    htil = jnp.tanh(ah + jnp.dot(r * h, gru["uh"],
+                                 preferred_element_type=jnp.float32))
+    return (1.0 - z) * h + z * htil
+
+
+def fuse_gru(gru: dict) -> tuple:
+    """Concatenate gate weights once (outside the scan) for fused matmuls."""
+    w_a = jnp.concatenate([gru["wz"], gru["wr"], gru["wh"]], axis=1)
+    b_all = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]], axis=0)
+    u_zr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
+    return w_a, b_all, u_zr
+
+
+def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
+              edge_src: jax.Array, edge_dst: jax.Array, edge_type: jax.Array,
+              edge_mask: jax.Array, h0: jax.Array | None = None,
+              collect_states: bool = False):
+    """Run T propagation steps; returns final h [N, D] (and, if
+    ``collect_states``, the stacked per-step states [T, N, D] for the
+    oracle-parity tests, BASELINE.json:5)."""
+    h = init_state(annotations, cfg.state_dim) if h0 is None else h0
+    fused = fuse_gru(prop["gru"])
+
+    if cfg.backend == "pallas":
+        from ggnn_tpu.ops.spmm_pallas import typed_aggregate_pallas as agg
+
+        def step(h, _):
+            a = agg(h, edge_src, edge_dst, edge_type, edge_mask,
+                    prop["msg_w"], prop["msg_b"])
+            h_new = gru_update(prop["gru"], h, a, fused)
+            return h_new, h_new if collect_states else None
+    else:
+        def step(h, _):
+            a = typed_aggregate(h, edge_src, edge_dst, edge_type, edge_mask,
+                                prop["msg_w"], prop["msg_b"],
+                                strategy=cfg.agg_strategy)
+            h_new = gru_update(prop["gru"], h, a, fused)
+            return h_new, h_new if collect_states else None
+
+    h_final, states = jax.lax.scan(step, h, None, length=cfg.n_steps)
+    if collect_states:
+        return h_final, states
+    return h_final

@@ -1,0 +1,29 @@
+"""Test harness: force the local CPU backend with 8 virtual devices
+(SURVEY.md §4.4 — distributed tests without a cluster).
+
+The runtime environment boots a sitecustomize hook that registers an 'axon'
+remote-TPU PJRT backend and calls ``jax.config.update("jax_platforms",
+"axon,cpu")`` at interpreter start — which overrides the JAX_PLATFORMS env
+var and silently routes every test computation through the remote tunnel
+(slow, and TPU matmul numerics).  Tests must run locally, so we override the
+config explicitly before any backend is initialized."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
