@@ -1,0 +1,77 @@
+"""Typed experiment configs + registry (SURVEY.md §5.6).
+
+The reference drives experiments with argparse flags
+(``--task_id 4 --state_dim 4 --n_steps 5 --batch_size 10 --lr ...``,
+SURVEY.md §1.2); here every BASELINE config (BASELINE.json:7-11) is a
+registered, named, typed config with CLI overrides layered on top."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+from ggnn_tpu.data.babi import TASKS
+from ggnn_tpu.models.config import ModelConfig, model_config_for_task
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    name: str
+    task_id: int
+    model: ModelConfig
+    batch_size: int = 10
+    lr: float = 1e-3
+    epochs: int = 200
+    seed: int = 0
+    question_id: Optional[int] = None   # filter for multi-question tasks
+    fold: int = 1
+    n_train: int = 50                   # paper headline: 50 train examples
+    n_test: int = 50
+    data_root: str = "babi_data"
+    generate_if_missing: bool = True
+    eval_every: int = 10
+    checkpoint_every: int = 0           # epochs; 0 = only at end
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+    backend: str = "xla"                # propagate backend: 'xla' | 'pallas'
+
+    def with_overrides(self, **kw) -> "TrainConfig":
+        model_kw = {k[len("model_"):]: v for k, v in kw.items()
+                    if k.startswith("model_") and v is not None}
+        rest = {k: v for k, v in kw.items()
+                if not k.startswith("model_") and v is not None}
+        model = dataclasses.replace(self.model, **model_kw) if model_kw else self.model
+        if "backend" in rest:
+            model = dataclasses.replace(model, backend=rest["backend"])
+        return dataclasses.replace(self, model=model, **rest)
+
+
+def _babi(name: str, task_id: int, state_dim: int = 4, n_steps: int = 5,
+          **kw) -> Callable[[], TrainConfig]:
+    def make() -> TrainConfig:
+        spec = TASKS[task_id]
+        model = model_config_for_task(spec, state_dim=state_dim, n_steps=n_steps)
+        defaults = dict(question_id=0) if spec.n_question_types > 1 else {}
+        defaults.update(kw)
+        return TrainConfig(name=name, task_id=task_id, model=model, **defaults)
+    return make
+
+
+CONFIGS: dict[str, Callable[[], TrainConfig]] = {
+    # BASELINE.json:7 — task 4, node-selection head, CPU-runnable PR1 ref
+    "babi4": _babi("babi4", 4),
+    # BASELINE.json:8 — tasks 15/16
+    "babi15": _babi("babi15", 15),
+    "babi16": _babi("babi16", 16),
+    # BASELINE.json:9 — task 18, graph-level gated readout
+    "babi18": _babi("babi18", 18, state_dim=6, epochs=300),
+    # BASELINE.json:10 — task 19, GGS-NN sequential output, hardest task
+    "babi19": _babi("babi19", 19, state_dim=6, epochs=400, n_train=250,
+                    lr=2e-3),
+}
+
+
+def build_config(name: str, **overrides) -> TrainConfig:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+    return CONFIGS[name]().with_overrides(**overrides)
