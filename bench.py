@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: edges/sec/chip during GGNN propagation
+(BASELINE.json:2) on a synthetic large random graph (BASELINE.json:11).
+
+Prints ONE JSON line:
+  {"metric": "edges_per_sec_per_chip", "value": N, "unit": "edges/s",
+   "vs_baseline": R, ...}
+
+The reference never published throughput numbers (BASELINE.json:13
+``published: {}``; the mount was empty — SURVEY.md §0), so ``vs_baseline``
+is reported against the framework's own portable pure-XLA fallback path
+measured in the same run on the same chip: R = best_backend / xla_fallback.
+R > 1 means the TPU-native kernel path beats the naive lowering.
+
+Usage: python bench.py [--nodes N] [--edges M] [--dim D] [--steps T]
+                       [--iters K] [--types E] [--backend auto|xla|pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=262_144)
+    ap.add_argument("--edges", type=int, default=4_000_000)  # logical
+    ap.add_argument("--types", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--backend", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"])
+    ap.add_argument("--agg", type=str, default="node_transform",
+                    choices=["node_transform", "edge_gather"])
+    return ap.parse_args()
+
+
+def main() -> int:
+    args = build_args()
+    import jax
+    import jax.numpy as jnp
+
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.models import ModelConfig, init_params
+    from ggnn_tpu.models.ggnn import propagate
+
+    batch = synthetic_batch(args.nodes, args.edges, args.types,
+                            annotation_dim=8, seed=0)
+    n_dir_edges = int(batch.edge_mask.sum())
+
+    def bench_backend(backend: str) -> float:
+        cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
+                          n_edge_types=args.types, n_steps=args.steps,
+                          backend=backend, agg_strategy=args.agg)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        @jax.jit
+        def run(prop, ann, es, ed, et, em, to):
+            return propagate(prop, cfg, ann, es, ed, et, em,
+                             type_offsets=to)
+
+        ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
+               jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),
+               jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets))
+        h = run(params["prop"], *ops)
+        h.block_until_ready()
+        for _ in range(args.warmup):
+            run(params["prop"], *ops).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            h = run(params["prop"], *ops)
+        h.block_until_ready()
+        dt = (time.perf_counter() - t0) / args.iters
+        return n_dir_edges * args.steps / dt
+
+    backends = (["xla", "pallas"] if args.backend == "auto"
+                else [args.backend])
+    results = {}
+    for b in backends:
+        try:
+            results[b] = bench_backend(b)
+            print(f"# {b}: {results[b]:.3e} edges/s", file=sys.stderr)
+        except Exception as e:  # keep the bench alive if one path breaks
+            print(f"# {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if not results:
+        print(json.dumps({"metric": "edges_per_sec_per_chip", "value": 0.0,
+                          "unit": "edges/s", "vs_baseline": 0.0,
+                          "error": "all backends failed"}))
+        return 1
+
+    best_name = max(results, key=results.get)
+    best = results[best_name]
+    baseline = results.get("xla", best)
+    print(json.dumps({
+        "metric": "edges_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(best / baseline, 4),
+        "backend": best_name,
+        "detail": {k: round(v, 1) for k, v in results.items()},
+        "config": {"nodes": args.nodes, "logical_edges": args.edges,
+                   "directed_edges": n_dir_edges, "types": args.types,
+                   "dim": args.dim, "steps": args.steps,
+                   "device": str(jax.devices()[0])},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

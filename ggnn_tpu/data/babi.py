@@ -40,6 +40,7 @@ class TaskSpec:
     n_classes: int = 0       # classes for graph_class; step vocab for seq (incl. end)
     n_question_types: int = 1  # >1 → one model per question type (reference family)
     max_seq_len: int = 1     # output rounds for GGS-NN ('seq' targets, incl. end token)
+    dir_opposite: tuple = ()  # direction-type involution (n↔s, e↔w) for path walks
 
     @property
     def seq_vocab(self) -> int:
@@ -60,7 +61,8 @@ TASKS: dict[int, TaskSpec] = {
                  n_question_types=2),
     19: TaskSpec(task_id=19, n_edge_types=4, annotation_dim=2, n_args=2,
                  target_kind="seq", head="ggsnn", n_classes=5,  # 4 dirs + end
-                 max_seq_len=3),  # ≤2 hops in bAbI 19 + end token
+                 max_seq_len=3,  # ≤2 hops in bAbI 19 + end token
+                 dir_opposite=(1, 0, 3, 2)),  # n↔s, e↔w
 }
 
 
@@ -152,16 +154,48 @@ def example_targets(ex: Example, spec: TaskSpec) -> dict[str, np.ndarray]:
     return {"seq": seq}
 
 
+def ggsnn_annotation_targets(ex: Example, spec: TaskSpec) -> np.ndarray:
+    """Per-round annotation targets for GGS-NN-opt supervision (paper §4:
+    supervise the intermediate node annotations so the model learns to walk
+    the position marker along the path; SURVEY.md §3.4 'annotation
+    supervision in the paper's GGS-NN-opt variant').
+
+    Returns [n_nodes, K, annotation_dim]: after emitting round-k's token the
+    position marker (channel 0) sits on the walked-to node and the
+    destination marker (channel 1) is unchanged.  Rounds past the sequence
+    end are masked in the loss (via the -1-padded seq target)."""
+    K, A = spec.max_seq_len, spec.annotation_dim
+    out = np.zeros((ex.n_nodes, K, A), np.float32)
+    # edge (u, d, v) reads "v is d-of u": walking d from u lands on v, and
+    # walking opposite(d) from v lands on u
+    step_to = {}
+    for (u, t, v) in ex.edges:
+        step_to[(int(u), int(t))] = int(v)
+        if spec.dir_opposite:
+            step_to.setdefault((int(v), spec.dir_opposite[int(t)]), int(u))
+    pos, dst = ex.args[0], ex.args[1]
+    toks = [int(x) for x in np.asarray(ex.target).ravel()]
+    for k in range(K):
+        if k < len(toks):
+            pos = step_to.get((pos, toks[k]), pos)  # end/unknown token: stay
+        out[pos, k, 0] = 1.0
+        out[dst, k, min(1, A - 1)] = 1.0
+    return out
+
+
 def examples_to_graphs(examples: list[Example], spec: TaskSpec) -> list[dict]:
     """Convert parsed examples to the per-graph dicts :func:`batch_graphs` takes."""
     out = []
     for ex in examples:
-        out.append(dict(
+        g = dict(
             n_nodes=ex.n_nodes,
             edges=ex.edges,
             annotations=make_annotations(ex, spec),
             targets=example_targets(ex, spec),
-        ))
+        )
+        if spec.target_kind == "seq":
+            g["node_targets"] = {"ann_seq": ggsnn_annotation_targets(ex, spec)}
+        out.append(g)
     return out
 
 

@@ -122,19 +122,18 @@ def gen_task16(rng: np.random.Generator) -> str:
     type_color = [int(rng.integers(0, n_colors)) for _ in type_nodes]
     n_inst = int(rng.integers(3, 6))
     base = n_types + n_colors
-    edges = []
-    inst_type = []
-    for i in range(n_inst):
-        t = int(rng.integers(0, n_types))
-        inst_type.append(t)
-        edges.append((base + i, 0, t))                 # is-a
+    inst_type = [int(rng.integers(0, n_types)) for _ in range(n_inst)]
     # query instance: gets no color edge; every other instance gets its
     # type's canonical color so induction is unambiguous
     qi = int(rng.integers(0, n_inst))
-    # ensure the query's type has at least one colored sibling
+    # ensure the query's type has at least one colored sibling BEFORE
+    # emitting edges (the sibling must exist in the actual graph)
     if sum(1 for j in range(n_inst) if j != qi and inst_type[j] == inst_type[qi]) == 0:
         j = (qi + 1) % n_inst
         inst_type[j] = inst_type[qi]
+    edges = []
+    for i in range(n_inst):
+        edges.append((base + i, 0, inst_type[i]))      # is-a
     for j in range(n_inst):
         if j != qi:
             edges.append((base + j, 1, color_nodes[type_color[inst_type[j]]]))

@@ -1,0 +1,66 @@
+"""Synthetic large random graphs for the scaling benchmark
+(BASELINE.json:11: 1M+ nodes, 10M+ edges, 8 edge types).
+
+Generates directly in the framework's flattened type-sorted COO layout
+(building a python list of per-graph dicts would not scale), with seeded
+determinism for multi-host reproducibility (SURVEY.md §7.2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ggnn_tpu.graph import GraphBatch, PaddingSpec
+
+
+def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
+                    annotation_dim: int = 8, state_dim: int | None = None,
+                    seed: int = 0, node_mult: int = 8,
+                    edge_mult: int = 128) -> GraphBatch:
+    """One big uniform random graph as a GraphBatch (single graph id 0).
+
+    ``n_edges`` counts LOGICAL edges; the batch holds 2× directed message
+    edges.  Edge axis is padded to ``edge_mult`` (Pallas tile friendliness).
+    """
+    rng = np.random.default_rng(seed)
+    rup = lambda x, m: ((x + m - 1) // m) * m
+    n_pad = rup(n_nodes, node_mult)
+    e_dir = 2 * n_edges
+    e_pad = rup(e_dir, edge_mult)
+    spec = PaddingSpec(n_graphs=1, n_pad=n_pad, e_pad=e_pad,
+                       n_edge_types=n_edge_types, annotation_dim=annotation_dim)
+
+    src = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    dst = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    typ = rng.integers(0, n_edge_types, n_edges, dtype=np.int64)
+
+    d_src = np.concatenate([src, dst])
+    d_dst = np.concatenate([dst, src])
+    d_typ = np.concatenate([typ, typ + n_edge_types])
+    order = np.lexsort((d_dst, d_typ))
+    d_src, d_dst, d_typ = d_src[order], d_dst[order], d_typ[order]
+
+    counts = np.bincount(d_typ, minlength=2 * n_edge_types)
+    offsets = np.zeros(2 * n_edge_types + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    edge_src = np.zeros(e_pad, np.int32)
+    edge_dst = np.zeros(e_pad, np.int32)
+    edge_type = np.zeros(e_pad, np.int32)
+    edge_mask = np.zeros(e_pad, np.float32)
+    edge_src[:e_dir], edge_dst[:e_dir], edge_type[:e_dir] = d_src, d_dst, d_typ
+    edge_mask[:e_dir] = 1.0
+
+    annotations = (rng.random((n_pad, annotation_dim)) < 0.1).astype(np.float32)
+    annotations[n_nodes:] = 0.0
+    node_graph = np.zeros(n_pad, np.int32)
+    node_graph[n_nodes:] = 1
+    node_mask = np.zeros(n_pad, np.float32)
+    node_mask[:n_nodes] = 1.0
+    n_nodes_arr = np.array([n_nodes], np.int32)
+
+    return GraphBatch(
+        spec=spec, annotations=annotations, node_graph=node_graph,
+        node_mask=node_mask, edge_src=edge_src, edge_dst=edge_dst,
+        edge_type=edge_type, edge_mask=edge_mask,
+        type_offsets=offsets.astype(np.int32), n_nodes=n_nodes_arr,
+        targets={"node": np.zeros((1,), np.int32)})

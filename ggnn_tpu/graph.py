@@ -109,6 +109,7 @@ class GraphBatch:
             node_graph=self.node_graph,
             node_mask=self.node_mask,
             n_nodes=self.n_nodes,
+            type_offsets=self.type_offsets,
             edge_src=self.edge_src,
             edge_dst=self.edge_dst,
             edge_type=self.edge_type,
@@ -145,6 +146,9 @@ def batch_graphs(
     - ``annotations``: ``[n_nodes, annotation_dim]`` float
     - ``targets``: dict of per-graph target arrays (padded per
       ``target_pads``: name -> (pad_shape, pad_value))
+    - ``node_targets`` (optional): dict of node-aligned target arrays with
+      leading dim ``n_nodes``; batched along the flattened padded node axis
+      (e.g. GGS-NN per-round annotation supervision, paper §4)
 
     Raises if the batch exceeds the spec's static budget.
     """
@@ -160,6 +164,7 @@ def batch_graphs(
     all_src, all_dst, all_type = [], [], []
     node_base = 0
     tgt_lists: dict[str, list] = {}
+    node_tgt_lists: dict[str, list] = {}
     for gi, g in enumerate(graphs):
         n = int(g["n_nodes"])
         if node_base + n > spec.n_pad:
@@ -187,6 +192,14 @@ def batch_graphs(
 
         for name, value in g.get("targets", {}).items():
             tgt_lists.setdefault(name, []).append(np.asarray(value))
+        for name, value in g.get("node_targets", {}).items():
+            value = np.asarray(value)
+            if value.shape[0] != n:
+                raise ValueError(
+                    f"node target {name!r} has leading dim {value.shape[0]}, "
+                    f"expected n_nodes={n}")
+            node_tgt_lists.setdefault(name, []).append(
+                (node_base - n, value))  # node_base already advanced
 
     src = np.concatenate(all_src) if all_src else np.zeros((0,), np.int64)
     dst = np.concatenate(all_dst) if all_dst else np.zeros((0,), np.int64)
@@ -217,6 +230,13 @@ def batch_graphs(
                           dtype=np.asarray(vals[0]).dtype)
             for i, v in enumerate(vals):
                 out[i] = v
+        targets[name] = out
+
+    for name, entries in node_tgt_lists.items():
+        trailing = entries[0][1].shape[1:]
+        out = np.zeros((spec.n_pad, *trailing), entries[0][1].dtype)
+        for base, value in entries:
+            out[base:base + value.shape[0]] = value
         targets[name] = out
 
     return GraphBatch(

@@ -23,7 +23,7 @@ def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int):
     if cfg.head == "ggsnn":
         logits, _ = ggsnn_forward(params, cfg, ann, arrays["node_graph"],
                                   arrays["node_mask"], *e, n_graphs=n_graphs)
-        return logits
+        return logits  # [K, B, V]
     h = propagate(params["prop"], cfg, ann, *e)
     if cfg.head == "node_select":
         return H.node_select_scores(params["head"], h, ann)
@@ -39,8 +39,26 @@ def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int):
 def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
                      n_graphs: int):
     """(scalar loss, metrics dict with 'correct' and 'count' sums)."""
-    out = forward(params, cfg, arrays, n_graphs)
     tgts = arrays["targets"]
+    if cfg.head == "ggsnn":
+        e = (arrays["edge_src"], arrays["edge_dst"], arrays["edge_type"],
+             arrays["edge_mask"])
+        logits, anns = ggsnn_forward(
+            params, cfg, arrays["annotations"], arrays["node_graph"],
+            arrays["node_mask"], *e, n_graphs=n_graphs)
+        use_sup = cfg.ann_supervision and "ann_seq" in tgts
+        loss, correct, mask = ggsnn_loss(
+            logits, tgts["seq"], arrays["n_nodes"],
+            anns=anns if use_sup else None,
+            ann_targets=tgts.get("ann_seq") if use_sup else None,
+            node_graph=arrays["node_graph"], node_mask=arrays["node_mask"],
+            ann_weight=cfg.ann_loss_weight)
+        metrics = {"loss_sum": loss * jnp.sum(mask),
+                   "correct": jnp.sum(correct.astype(jnp.float32)),
+                   "count": jnp.sum(mask)}
+        return loss, metrics
+
+    out = forward(params, cfg, arrays, n_graphs)
     if cfg.head == "node_select":
         loss, correct, mask = H.node_select_loss(
             out, arrays["node_graph"], arrays["node_mask"], arrays["n_nodes"],
@@ -51,8 +69,6 @@ def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
     elif cfg.head == "graph_gated":
         loss, correct, mask = H.graph_class_loss(out, tgts["cls"],
                                                  arrays["n_nodes"])
-    elif cfg.head == "ggsnn":
-        loss, correct, mask = ggsnn_loss(out, tgts["seq"], arrays["n_nodes"])
     else:
         raise ValueError(f"unknown head {cfg.head!r}")
     metrics = {"loss_sum": loss * jnp.sum(mask),

@@ -20,6 +20,8 @@ class ModelConfig:
     n_classes: int = 1            # graph classes / per-node classes / seq vocab
     graph_dim: int = 0            # gated-readout width (0 → state_dim)
     n_rounds: int = 1             # GGS-NN output rounds (= max_seq_len)
+    ann_supervision: bool = False  # GGS-NN-opt: supervise round annotations
+    ann_loss_weight: float = 1.0
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas'
     param_dtype: str = "float32"
@@ -54,5 +56,6 @@ def model_config_for_task(task_spec, state_dim: int = 4, n_steps: int = 5,
         head=task_spec.head,
         n_classes=n_classes,
         n_rounds=task_spec.max_seq_len if task_spec.head == "ggsnn" else 1,
+        ann_supervision=(task_spec.head == "ggsnn"),
         **overrides,
     )

@@ -53,7 +53,7 @@ def fuse_gru(gru: dict) -> tuple:
 def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
               edge_src: jax.Array, edge_dst: jax.Array, edge_type: jax.Array,
               edge_mask: jax.Array, h0: jax.Array | None = None,
-              collect_states: bool = False):
+              collect_states: bool = False, type_offsets: jax.Array | None = None):
     """Run T propagation steps; returns final h [N, D] (and, if
     ``collect_states``, the stacked per-step states [T, N, D] for the
     oracle-parity tests, BASELINE.json:5)."""
@@ -61,11 +61,21 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
     fused = fuse_gru(prop["gru"])
 
     if cfg.backend == "pallas":
-        from ggnn_tpu.ops.spmm_pallas import typed_aggregate_pallas as agg
+        from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
+                                              typed_aggregate_tiled)
+        if type_offsets is None:
+            counts = jax.ops.segment_sum(
+                (edge_mask > 0).astype(jnp.int32), edge_type,
+                num_segments=cfg.n_message_types)
+            type_offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts)]).astype(jnp.int32)
+        # tiled layout is topology-only — build once, outside the scan
+        layout = pack_type_tiles(edge_src, edge_dst, edge_type, edge_mask,
+                                 type_offsets, cfg.n_message_types)
 
         def step(h, _):
-            a = agg(h, edge_src, edge_dst, edge_type, edge_mask,
-                    prop["msg_w"], prop["msg_b"])
+            a = typed_aggregate_tiled(h, layout, prop["msg_w"], prop["msg_b"])
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None
     else:

@@ -35,16 +35,17 @@ def ggsnn_forward(params: dict, cfg: ModelConfig, annotations, node_graph,
         logits = graph_gated_logits(params["out"], h, X, node_graph,
                                     node_mask, n_graphs)
         X_next = annotation_update(params["ann"], h, X) * node_mask[:, None]
-        return X_next, logits
+        return X_next, (logits, X_next)
 
-    X_final, logits = jax.lax.scan(round_fn, annotations, None,
-                                   length=cfg.n_rounds)
-    return logits, X_final
+    _, (logits, anns) = jax.lax.scan(round_fn, annotations, None,
+                                     length=cfg.n_rounds)
+    return logits, anns  # [K, B, V], [K, N, A]
 
 
-def ggsnn_loss(logits, targets, n_nodes):
-    """Σ_k CE(logits_k, target_k) over valid rounds; exact-match sequence
-    accuracy (SURVEY.md §3.3: task 19 scores exact match)."""
+def ggsnn_loss(logits, targets, n_nodes, anns=None, ann_targets=None,
+               node_graph=None, node_mask=None, ann_weight: float = 1.0):
+    """Σ_k CE(logits_k, target_k) over valid rounds (+ optional GGS-NN-opt
+    annotation BCE); exact-match sequence accuracy (SURVEY.md §3.3)."""
     K, B, V = logits.shape
     tgt = targets.T  # [K, B]
     valid = (tgt >= 0) & (n_nodes[None, :] > 0)
@@ -54,6 +55,17 @@ def ggsnn_loss(logits, targets, n_nodes):
                                axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     loss = jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+    if anns is not None and ann_targets is not None:
+        # anns [K, N, A]; ann_targets [N, K, A] (node-aligned batching)
+        t = jnp.transpose(ann_targets, (1, 0, 2))            # [K, N, A]
+        p = jnp.clip(anns, 1e-6, 1.0 - 1e-6)
+        bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+        round_valid = valid.astype(logits.dtype)             # [K, B]
+        w = round_valid[:, node_graph.clip(0, B - 1)] * node_mask[None, :]
+        bce = bce * w[..., None]
+        loss = loss + ann_weight * jnp.sum(bce) / jnp.maximum(jnp.sum(w), 1.0)
+
     step_correct = (jnp.argmax(logits, axis=-1) == tgt) | ~valid
     seq_correct = jnp.all(step_correct, axis=0) & (n_nodes > 0)
     graph_mask = (n_nodes > 0).astype(logits.dtype)

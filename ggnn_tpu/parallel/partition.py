@@ -1,0 +1,133 @@
+"""Edge partitioning + halo-exchange plan (SURVEY.md §5.7, BASELINE.json:5).
+
+Partition strategy (the GNN analogue of TP+SP):
+
+- every shard owns a contiguous node range of ``n_local = n_pad / P`` rows
+  of the flattened node axis — node state h stays sharded at all times;
+- every directed message edge lives on the shard owning its **destination**
+  (aggregation is then purely local: ``segment_sum`` into owned rows);
+- per propagation step each shard needs the states of remote *source*
+  nodes ("halo").  The exchange pattern is topology-static, so the plan is
+  precomputed once per batch (SURVEY.md §5.7: "the exchange pattern is
+  static across steps — precomputed once per graph batch"):
+
+  * ``halo_send_idx[owner, requester, H]`` — local node indices owner
+    sends to requester (deduplicated, padded to the max request size H);
+  * edge sources are remapped to halo coordinates
+    ``owner · H + position`` so the aggregation gathers straight from the
+    all-to-all receive buffer.
+
+  Every shard requests its own needed nodes from itself too (the diagonal),
+  so local and remote contributions go through one uniform gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ggnn_tpu.graph import GraphBatch
+
+
+@dataclasses.dataclass
+class PartitionedBatch:
+    """Host-side numpy arrays, all leading-axis sharded by 'graph' except
+    where noted.  See module docstring for the halo plan."""
+
+    n_shards: int
+    n_local: int
+    halo_size: int                 # H
+    annotations: np.ndarray        # [P, n_local, A]
+    node_mask: np.ndarray          # [P, n_local]
+    node_graph: np.ndarray         # [P, n_local]
+    edge_src_global: np.ndarray    # [P, E_l] global src ids (all_gather path)
+    edge_src_halo: np.ndarray      # [P, E_l] owner*H + pos   (halo path)
+    edge_dst_local: np.ndarray     # [P, E_l] dst - shard_base
+    edge_type: np.ndarray          # [P, E_l]
+    edge_mask: np.ndarray          # [P, E_l]
+    type_offsets: np.ndarray       # [P, T2+1]
+    halo_send_idx: np.ndarray      # [P(owner), P(requester), H] local ids
+
+    @property
+    def arrays(self) -> dict:
+        return {f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self)
+                if isinstance(getattr(self, f.name), np.ndarray)}
+
+
+def partition_batch(batch: GraphBatch, n_shards: int,
+                    edge_mult: int = 8) -> PartitionedBatch:
+    spec = batch.spec
+    if spec.n_pad % n_shards:
+        raise ValueError(f"n_pad={spec.n_pad} not divisible by P={n_shards}")
+    n_local = spec.n_pad // n_shards
+    T2 = spec.n_message_types
+    rup = lambda x, m: ((x + m - 1) // m) * m
+
+    real = batch.edge_mask > 0
+    src = batch.edge_src[real].astype(np.int64)
+    dst = batch.edge_dst[real].astype(np.int64)
+    typ = batch.edge_type[real].astype(np.int64)
+    shard_of = dst // n_local
+
+    per_shard = []
+    requests: list[list[np.ndarray]] = []  # [s][o] -> sorted unique local ids
+    for s in range(n_shards):
+        sel = shard_of == s
+        es, ed, et = src[sel], dst[sel], typ[sel]
+        order = np.lexsort((ed, et))
+        es, ed, et = es[order], ed[order], et[order]
+        per_shard.append((es, ed, et))
+        reqs = []
+        owners = es // n_local
+        for o in range(n_shards):
+            loc = np.unique(es[owners == o] - o * n_local)
+            reqs.append(loc)
+        # the diagonal always includes something (may be empty if shard has
+        # no edges — fine, padded)
+        requests.append(reqs)
+
+    H = max((len(r) for reqs in requests for r in reqs), default=1)
+    H = max(rup(H, 8), 8)
+    e_local = max(rup(max((len(p[0]) for p in per_shard), default=1), edge_mult),
+                  edge_mult)
+
+    ann = batch.annotations.reshape(n_shards, n_local, spec.annotation_dim)
+    node_mask = batch.node_mask.reshape(n_shards, n_local)
+    node_graph = batch.node_graph.reshape(n_shards, n_local)
+
+    edge_src_global = np.zeros((n_shards, e_local), np.int32)
+    edge_src_halo = np.zeros((n_shards, e_local), np.int32)
+    edge_dst_local = np.zeros((n_shards, e_local), np.int32)
+    edge_type = np.zeros((n_shards, e_local), np.int32)
+    edge_mask = np.zeros((n_shards, e_local), np.float32)
+    type_offsets = np.zeros((n_shards, T2 + 1), np.int32)
+    halo_send_idx = np.zeros((n_shards, n_shards, H), np.int32)
+
+    for s in range(n_shards):
+        es, ed, et = per_shard[s]
+        m = len(es)
+        edge_src_global[s, :m] = es
+        edge_dst_local[s, :m] = ed - s * n_local
+        edge_type[s, :m] = et
+        edge_mask[s, :m] = 1.0
+        counts = np.bincount(et, minlength=T2)
+        np.cumsum(counts, out=type_offsets[s, 1:])
+        owners = es // n_local
+        halo = np.empty(m, np.int64)
+        for o in range(n_shards):
+            req = requests[s][o]
+            halo_send_idx[o, s, :len(req)] = req
+            osel = owners == o
+            pos = np.searchsorted(req, es[osel] - o * n_local)
+            halo[osel] = o * H + pos
+        edge_src_halo[s, :m] = halo
+
+    return PartitionedBatch(
+        n_shards=n_shards, n_local=n_local, halo_size=H,
+        annotations=ann, node_mask=node_mask, node_graph=node_graph,
+        edge_src_global=edge_src_global, edge_src_halo=edge_src_halo,
+        edge_dst_local=edge_dst_local, edge_type=edge_type,
+        edge_mask=edge_mask, type_offsets=type_offsets,
+        halo_send_idx=halo_send_idx)

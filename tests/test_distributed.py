@@ -1,0 +1,94 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §4.4):
+partitioning invariants and halo-exchange propagation parity vs the
+single-device path."""
+
+import jax
+import numpy as np
+import pytest
+
+from ggnn_tpu.graph import PaddingSpec, batch_graphs
+from ggnn_tpu.models import ModelConfig, init_params, propagate
+from ggnn_tpu.parallel import make_mesh, partition_batch, sharded_propagate
+
+
+def make_random_batch(rng, n_graphs=4, n_edge_types=3, annotation_dim=2,
+                      n_mult=16):
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(4, 12))
+        m = int(rng.integers(2, 3 * n))
+        edges = np.stack([rng.integers(0, n, m),
+                          rng.integers(0, n_edge_types, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, annotation_dim)) < 0.5).astype(np.float32)
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann, targets={}))
+    total_n = sum(g["n_nodes"] for g in graphs)
+    spec = PaddingSpec(
+        n_graphs=n_graphs,
+        n_pad=((total_n + n_mult - 1) // n_mult) * n_mult,
+        e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+        n_edge_types=n_edge_types, annotation_dim=annotation_dim).round_up()
+    return spec, batch_graphs(graphs, spec)
+
+
+def test_device_count():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_partition_invariants(rng):
+    spec, b = make_random_batch(rng, n_mult=8)
+    parts = partition_batch(b, 8)
+    assert parts.n_local * 8 == spec.n_pad
+    # every real directed edge is present exactly once, on its dst's shard
+    total = int(parts.edge_mask.sum())
+    assert total == int(b.edge_mask.sum())
+    for s in range(8):
+        m = parts.edge_mask[s] > 0
+        dst_g = parts.edge_dst_local[s, m] + s * parts.n_local
+        assert (parts.edge_dst_local[s, m] >= 0).all()
+        assert (parts.edge_dst_local[s, m] < parts.n_local).all()
+        # halo remap round-trips to the global src id
+        owner = parts.edge_src_halo[s, m] // parts.halo_size
+        pos = parts.edge_src_halo[s, m] % parts.halo_size
+        src_back = owner * parts.n_local + \
+            parts.halo_send_idx[owner, s, pos]
+        np.testing.assert_array_equal(src_back, parts.edge_src_global[s, m])
+        # edges sorted by type within shard
+        et = parts.edge_type[s, m]
+        assert (np.diff(et) >= 0).all()
+        counts = np.bincount(et, minlength=spec.n_message_types)
+        np.testing.assert_array_equal(np.diff(parts.type_offsets[s]), counts)
+    # annotations reshaped consistently
+    np.testing.assert_array_equal(
+        parts.annotations.reshape(-1, spec.annotation_dim), b.annotations)
+
+
+@pytest.mark.parametrize("strategy", ["all_gather", "halo"])
+def test_sharded_propagate_matches_single_device(rng, strategy):
+    spec, b = make_random_batch(rng, n_mult=8)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = np.asarray(propagate(
+        params["prop"], cfg, b.annotations, b.edge_src, b.edge_dst,
+        b.edge_type, b.edge_mask))
+
+    mesh = make_mesh(n_graph=8)
+    parts = partition_batch(b, 8)
+    got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
+                                       strategy=strategy))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_propagate_other_shard_counts(rng, n_shards):
+    spec, b = make_random_batch(rng, n_mult=n_shards * 8)
+    cfg = ModelConfig(state_dim=4, annotation_dim=2, n_edge_types=3, n_steps=3)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    ref = np.asarray(propagate(
+        params["prop"], cfg, b.annotations, b.edge_src, b.edge_dst,
+        b.edge_type, b.edge_mask))
+    mesh = make_mesh(n_graph=n_shards)
+    parts = partition_batch(b, n_shards)
+    got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
+                                       strategy="halo"))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)

@@ -148,15 +148,20 @@ def test_ggsnn_parity(rng):
               for _ in range(3)]
     spec, batch = make_batch(rng, graphs, E, A)
     params = init_params(jax.random.PRNGKey(4), cfg)
-    logits, _ = ggsnn_forward(
+    logits, anns = ggsnn_forward(
         params, cfg, batch.annotations, batch.node_graph, batch.node_mask,
         batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
         n_graphs=spec.n_graphs)
     logits = np.asarray(logits)  # [K, B, V]
+    anns = np.asarray(anns)      # [K, N, A]
     p64 = to_f64(params)
+    offs = np.concatenate([[0], np.cumsum(batch.n_nodes)])[:-1]
     for gi, g in enumerate(graphs):
-        ref_logits, _, _ = oracle_ggsnn(p64, g["annotations"], g["edges"], E,
-                                        cfg.n_steps, K)
+        ref_logits, _, ref_anns = oracle_ggsnn(p64, g["annotations"],
+                                               g["edges"], E, cfg.n_steps, K)
         for k in range(K):
             np.testing.assert_allclose(logits[k, gi], ref_logits[k],
+                                       rtol=3e-5, atol=3e-6)
+            got_ann = anns[k, offs[gi]:offs[gi] + g["n_nodes"]]
+            np.testing.assert_allclose(got_ann, ref_anns[k + 1],
                                        rtol=3e-5, atol=3e-6)
