@@ -61,22 +61,23 @@ def main() -> int:
 
         @jax.jit
         def run(prop, ann, es, ed, et, em, to):
-            return propagate(prop, cfg, ann, es, ed, et, em,
-                             type_offsets=to)
+            h = propagate(prop, cfg, ann, es, ed, et, em, type_offsets=to)
+            # reduce to a scalar: fetching it forces full execution even on
+            # remote/tunneled backends where block_until_ready is lazy
+            return jnp.sum(h)
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),
                jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets))
-        h = run(params["prop"], *ops)
-        h.block_until_ready()
+        float(run(params["prop"], *ops))
         for _ in range(args.warmup):
-            run(params["prop"], *ops).block_until_ready()
-        t0 = time.perf_counter()
+            float(run(params["prop"], *ops))
+        best = float("inf")
         for _ in range(args.iters):
-            h = run(params["prop"], *ops)
-        h.block_until_ready()
-        dt = (time.perf_counter() - t0) / args.iters
-        return n_dir_edges * args.steps / dt
+            t0 = time.perf_counter()
+            float(run(params["prop"], *ops))
+            best = min(best, time.perf_counter() - t0)
+        return n_dir_edges * args.steps / best
 
     backends = (["xla", "pallas"] if args.backend == "auto"
                 else [args.backend])

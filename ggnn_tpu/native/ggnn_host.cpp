@@ -1,0 +1,306 @@
+// ggnn_host: native host-side runtime for the TPU GGNN framework.
+//
+// The reference implementation has no native code (SURVEY.md §2.4) — its
+// host path is Python. This framework's host path (data parsing, edge
+// packing, halo partition planning) is native C++ so multi-million-edge
+// graphs batch at memory bandwidth rather than interpreter speed; the
+// device compute path stays JAX/XLA/Pallas.
+//
+// Exposed as a plain extern "C" ABI consumed via ctypes
+// (ggnn_tpu/native/__init__.py); every entry point has a pure-Python
+// fallback with identical semantics (tested equal in
+// tests/test_native.py).
+//
+// Build: make -C ggnn_tpu/native   (produces libggnn_host.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Example {
+  int32_t n_nodes = 0;
+  std::vector<int32_t> edges;  // flattened (src, type, dst), 0-indexed
+  int32_t qtype = 0;
+  std::vector<int32_t> args;
+  std::vector<int32_t> target;  // 1 entry for node/class, k for seq
+};
+
+struct ParseResult {
+  std::vector<Example> examples;
+};
+
+// Parse one whitespace-separated signed integer; returns false at end.
+bool next_tok(const char*& p, const char* end, std::string& tok) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  if (p >= end || *p == '\n') return false;
+  const char* s = p;
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;
+  tok.assign(s, p - s);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// target_kind: 0 = scalar (node / graph_class), 1 = sequence (comma list)
+void* ggnn_parse(const char* text, int64_t len, int32_t n_args,
+                 int32_t target_kind) {
+  auto* res = new ParseResult();
+  const char* p = text;
+  const char* end = text + len;
+
+  std::vector<int32_t> edges;  // current block, flattened (src,type,dst) 1-idx
+  struct Q {
+    int32_t qtype;
+    std::vector<int32_t> args;
+    std::vector<int32_t> target;
+  };
+  std::vector<Q> questions;
+
+  auto flush = [&]() {
+    if (edges.empty() && questions.empty()) return;
+    int32_t max_node = 0;
+    for (size_t i = 0; i < edges.size(); i += 3) {
+      max_node = std::max({max_node, edges[i], edges[i + 2]});
+    }
+    for (auto& q : questions) {
+      for (auto a : q.args) max_node = std::max(max_node, a);
+      if (target_kind == 0 && !q.target.empty())
+        max_node = std::max(max_node, q.target[0] + 1);
+    }
+    std::vector<int32_t> e0(edges.size());
+    for (size_t i = 0; i < edges.size(); ++i) e0[i] = edges[i] - 1;
+    for (auto& q : questions) {
+      Example ex;
+      ex.n_nodes = max_node;
+      ex.edges = e0;
+      ex.qtype = q.qtype - 1;
+      ex.args.reserve(q.args.size());
+      for (auto a : q.args) ex.args.push_back(a - 1);
+      ex.target = q.target;  // already 0-indexed below
+      res->examples.push_back(std::move(ex));
+    }
+    edges.clear();
+    questions.clear();
+  };
+
+  std::string tok;
+  while (p < end) {
+    // read one line
+    std::vector<std::string> toks;
+    while (next_tok(p, end, tok)) toks.push_back(tok);
+    if (p < end && *p == '\n') ++p;
+    if (toks.empty()) {
+      flush();
+      continue;
+    }
+    if (toks[0] == "?") {
+      Q q;
+      q.qtype = std::stoi(toks[1]);
+      for (int i = 0; i < n_args; ++i) q.args.push_back(std::stoi(toks[2 + i]));
+      const std::string& t = toks[2 + n_args];
+      if (target_kind == 1) {
+        size_t pos = 0;
+        while (pos < t.size()) {
+          size_t comma = t.find(',', pos);
+          if (comma == std::string::npos) comma = t.size();
+          q.target.push_back(std::stoi(t.substr(pos, comma - pos)) - 1);
+          pos = comma + 1;
+        }
+      } else {
+        q.target.push_back(std::stoi(t) - 1);
+      }
+      questions.push_back(std::move(q));
+    } else if (toks.size() >= 3) {
+      edges.push_back(std::stoi(toks[0]));
+      edges.push_back(std::stoi(toks[1]));
+      edges.push_back(std::stoi(toks[2]));
+    }
+  }
+  flush();
+  return res;
+}
+
+int64_t ggnn_parse_num_examples(void* h) {
+  return static_cast<ParseResult*>(h)->examples.size();
+}
+
+void ggnn_example_info(void* h, int64_t i, int32_t* n_nodes, int64_t* n_edges,
+                       int32_t* qtype, int64_t* n_args, int64_t* n_target) {
+  auto& ex = static_cast<ParseResult*>(h)->examples[i];
+  *n_nodes = ex.n_nodes;
+  *n_edges = static_cast<int64_t>(ex.edges.size() / 3);
+  *qtype = ex.qtype;
+  *n_args = static_cast<int64_t>(ex.args.size());
+  *n_target = static_cast<int64_t>(ex.target.size());
+}
+
+void ggnn_example_fill(void* h, int64_t i, int32_t* edges, int32_t* args,
+                       int32_t* target) {
+  auto& ex = static_cast<ParseResult*>(h)->examples[i];
+  std::memcpy(edges, ex.edges.data(), ex.edges.size() * sizeof(int32_t));
+  std::memcpy(args, ex.args.data(), ex.args.size() * sizeof(int32_t));
+  std::memcpy(target, ex.target.data(), ex.target.size() * sizeof(int32_t));
+}
+
+void ggnn_parse_free(void* h) { delete static_cast<ParseResult*>(h); }
+
+// Stable sort of n directed edges by (type, dst, src); writes sorted arrays
+// and the (n_types+1) exclusive type-offset table.
+void ggnn_sort_edges(int64_t n, const int32_t* src, const int32_t* dst,
+                     const int32_t* typ, int32_t n_types, int32_t* out_src,
+                     int32_t* out_dst, int32_t* out_typ,
+                     int32_t* out_offsets) {
+  std::vector<int64_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    if (typ[a] != typ[b]) return typ[a] < typ[b];
+    if (dst[a] != dst[b]) return dst[a] < dst[b];
+    return src[a] < src[b];
+  });
+  std::vector<int64_t> counts(n_types, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    out_src[i] = src[idx[i]];
+    out_dst[i] = dst[idx[i]];
+    out_typ[i] = typ[idx[i]];
+    counts[typ[idx[i]]]++;
+  }
+  out_offsets[0] = 0;
+  for (int32_t t = 0; t < n_types; ++t)
+    out_offsets[t + 1] = out_offsets[t] + static_cast<int32_t>(counts[t]);
+}
+
+// ---- Halo partition plan (mirrors parallel/partition.py) ----------------
+
+struct HaloPlan {
+  int32_t P, T2;
+  int64_t n_local, e_local, H;
+  // per shard s: sorted (type, dst_local) edges
+  std::vector<std::vector<int32_t>> src_g, dst_l, typ_s;
+  std::vector<std::vector<int32_t>> type_offsets;     // [P][T2+1]
+  std::vector<std::vector<std::vector<int32_t>>> req; // [s][o] sorted unique
+  std::vector<std::vector<int64_t>> halo;             // [s] per-edge halo idx
+};
+
+void* ggnn_halo_plan(int64_t n_edges, const int32_t* src, const int32_t* dst,
+                     const int32_t* typ, int32_t n_shards, int64_t n_local,
+                     int32_t n_types) {
+  auto* plan = new HaloPlan();
+  plan->P = n_shards;
+  plan->T2 = n_types;
+  plan->n_local = n_local;
+  const int32_t P = n_shards;
+
+  plan->src_g.resize(P);
+  plan->dst_l.resize(P);
+  plan->typ_s.resize(P);
+  plan->type_offsets.assign(P, std::vector<int32_t>(n_types + 1, 0));
+  plan->req.assign(P, std::vector<std::vector<int32_t>>(P));
+  plan->halo.resize(P);
+
+  // bucket edges by dst shard
+  std::vector<std::vector<int64_t>> by_shard(P);
+  for (int64_t i = 0; i < n_edges; ++i)
+    by_shard[dst[i] / n_local].push_back(i);
+
+  int64_t e_local = 1, H = 1;
+  for (int32_t s = 0; s < P; ++s) {
+    auto& ids = by_shard[s];
+    std::stable_sort(ids.begin(), ids.end(), [&](int64_t a, int64_t b) {
+      if (typ[a] != typ[b]) return typ[a] < typ[b];
+      return dst[a] < dst[b];
+    });
+    auto& sg = plan->src_g[s];
+    auto& dl = plan->dst_l[s];
+    auto& ts = plan->typ_s[s];
+    sg.reserve(ids.size());
+    for (int64_t id : ids) {
+      sg.push_back(src[id]);
+      dl.push_back(dst[id] - s * static_cast<int32_t>(n_local));
+      ts.push_back(typ[id]);
+      plan->type_offsets[s][typ[id] + 1]++;
+    }
+    for (int32_t t = 0; t < n_types; ++t)
+      plan->type_offsets[s][t + 1] += plan->type_offsets[s][t];
+    e_local = std::max<int64_t>(e_local, static_cast<int64_t>(ids.size()));
+
+    // per-owner request lists (sorted unique local ids)
+    for (int32_t o = 0; o < P; ++o) {
+      std::vector<int32_t> loc;
+      for (int32_t u : sg)
+        if (u / n_local == o) loc.push_back(u - o * static_cast<int32_t>(n_local));
+      std::sort(loc.begin(), loc.end());
+      loc.erase(std::unique(loc.begin(), loc.end()), loc.end());
+      H = std::max<int64_t>(H, static_cast<int64_t>(loc.size()));
+      plan->req[s][o] = std::move(loc);
+    }
+  }
+  auto rup = [](int64_t x, int64_t m) { return (x + m - 1) / m * m; };
+  plan->e_local = rup(e_local, 8);
+  plan->H = rup(std::max<int64_t>(H, 8), 8);
+
+  // halo index per edge: owner * H + rank of (src - owner*n_local) in req
+  for (int32_t s = 0; s < P; ++s) {
+    auto& sg = plan->src_g[s];
+    auto& hl = plan->halo[s];
+    hl.resize(sg.size());
+    for (size_t i = 0; i < sg.size(); ++i) {
+      int32_t o = sg[i] / static_cast<int32_t>(n_local);
+      const auto& r = plan->req[s][o];
+      int64_t pos = std::lower_bound(r.begin(), r.end(),
+                                     sg[i] - o * static_cast<int32_t>(n_local)) -
+                    r.begin();
+      hl[i] = static_cast<int64_t>(o) * plan->H + pos;
+    }
+  }
+  return plan;
+}
+
+void ggnn_halo_sizes(void* h, int64_t* e_local, int64_t* halo_size) {
+  auto* plan = static_cast<HaloPlan*>(h);
+  *e_local = plan->e_local;
+  *halo_size = plan->H;
+}
+
+// Fill caller-allocated arrays:
+//  edge_src_global/edge_src_halo/edge_dst_local/edge_type [P, e_local] i32
+//  edge_mask [P, e_local] f32, type_offsets [P, T2+1] i32,
+//  halo_send_idx [P, P, H] i32
+void ggnn_halo_fill(void* h, int32_t* esg, int32_t* esh, int32_t* edl,
+                    int32_t* ety, float* emk, int32_t* tof, int32_t* hsi) {
+  auto* plan = static_cast<HaloPlan*>(h);
+  const int64_t P = plan->P, E = plan->e_local, H = plan->H;
+  std::memset(esg, 0, sizeof(int32_t) * P * E);
+  std::memset(esh, 0, sizeof(int32_t) * P * E);
+  std::memset(edl, 0, sizeof(int32_t) * P * E);
+  std::memset(ety, 0, sizeof(int32_t) * P * E);
+  std::memset(emk, 0, sizeof(float) * P * E);
+  std::memset(hsi, 0, sizeof(int32_t) * P * P * H);
+  for (int64_t s = 0; s < P; ++s) {
+    const auto& sg = plan->src_g[s];
+    for (size_t i = 0; i < sg.size(); ++i) {
+      esg[s * E + i] = sg[i];
+      esh[s * E + i] = static_cast<int32_t>(plan->halo[s][i]);
+      edl[s * E + i] = plan->dst_l[s][i];
+      ety[s * E + i] = plan->typ_s[s][i];
+      emk[s * E + i] = 1.0f;
+    }
+    for (int32_t t = 0; t <= plan->T2; ++t)
+      tof[s * (plan->T2 + 1) + t] = plan->type_offsets[s][t];
+    for (int64_t o = 0; o < P; ++o) {
+      const auto& r = plan->req[s][o];  // owner o sends to requester s
+      for (size_t k = 0; k < r.size(); ++k)
+        hsi[(o * P + s) * H + k] = r[k];
+    }
+  }
+}
+
+void ggnn_halo_free(void* h) { delete static_cast<HaloPlan*>(h); }
+
+}  // extern "C"

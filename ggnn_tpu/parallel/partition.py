@@ -57,13 +57,37 @@ class PartitionedBatch:
 
 
 def partition_batch(batch: GraphBatch, n_shards: int,
-                    edge_mult: int = 8) -> PartitionedBatch:
+                    edge_mult: int = 8,
+                    use_native: bool | None = None) -> PartitionedBatch:
     spec = batch.spec
     if spec.n_pad % n_shards:
         raise ValueError(f"n_pad={spec.n_pad} not divisible by P={n_shards}")
     n_local = spec.n_pad // n_shards
     T2 = spec.n_message_types
     rup = lambda x, m: ((x + m - 1) // m) * m
+
+    if use_native is not False:
+        from ggnn_tpu import native
+        if native.available():
+            real = batch.edge_mask > 0
+            plan = native.halo_plan_native(
+                batch.edge_src[real], batch.edge_dst[real],
+                batch.edge_type[real], n_shards, n_local, T2)
+            return PartitionedBatch(
+                n_shards=n_shards, n_local=n_local,
+                halo_size=plan["halo_size"],
+                annotations=batch.annotations.reshape(
+                    n_shards, n_local, spec.annotation_dim),
+                node_mask=batch.node_mask.reshape(n_shards, n_local),
+                node_graph=batch.node_graph.reshape(n_shards, n_local),
+                edge_src_global=plan["edge_src_global"],
+                edge_src_halo=plan["edge_src_halo"],
+                edge_dst_local=plan["edge_dst_local"],
+                edge_type=plan["edge_type"], edge_mask=plan["edge_mask"],
+                type_offsets=plan["type_offsets"],
+                halo_send_idx=plan["halo_send_idx"])
+        if use_native:
+            raise RuntimeError("native library requested but unavailable")
 
     real = batch.edge_mask > 0
     src = batch.edge_src[real].astype(np.int64)

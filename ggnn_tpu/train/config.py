@@ -66,8 +66,8 @@ CONFIGS: dict[str, Callable[[], TrainConfig]] = {
     # BASELINE.json:9 — task 18, graph-level gated readout
     "babi18": _babi("babi18", 18, state_dim=6, epochs=300),
     # BASELINE.json:10 — task 19, GGS-NN sequential output, hardest task
-    "babi19": _babi("babi19", 19, state_dim=6, epochs=400, n_train=250,
-                    lr=2e-3),
+    "babi19": _babi("babi19", 19, state_dim=16, epochs=400, n_train=250,
+                    lr=1e-3),
 }
 
 
