@@ -22,6 +22,8 @@ class ModelConfig:
     n_rounds: int = 1             # GGS-NN output rounds (= max_seq_len)
     ann_supervision: bool = False  # GGS-NN-opt: supervise round annotations
     ann_loss_weight: float = 1.0
+    edge_gates: bool = False      # SDDMM edge-feature gates (BASELINE.json:5)
+    gate_dim: int = 0             # SDDMM inner dim (0 → state_dim)
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas'
     param_dtype: str = "float32"

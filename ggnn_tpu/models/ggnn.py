@@ -60,6 +60,18 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
     h = init_state(annotations, cfg.state_dim) if h0 is None else h0
     fused = fuse_gru(prop["gru"])
 
+    def edge_gate(h):
+        """SDDMM edge-feature gates g_uv = σ(⟨h_u·P, h_v·Q⟩)
+        (BASELINE.json:5); folded into the edge mask so both backends'
+        message kernels apply it for free."""
+        if not cfg.edge_gates:
+            return edge_mask
+        from ggnn_tpu.ops.segment import sddmm
+        p = jnp.dot(h, prop["gate_p"], preferred_element_type=jnp.float32)
+        q = jnp.dot(h, prop["gate_q"], preferred_element_type=jnp.float32)
+        return edge_mask * jax.nn.sigmoid(
+            sddmm(p, q, edge_src, edge_dst, edge_mask))
+
     if cfg.backend == "pallas":
         from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
                                               typed_aggregate_tiled)
@@ -74,14 +86,23 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         layout = pack_type_tiles(edge_src, edge_dst, edge_type, edge_mask,
                                  type_offsets, cfg.n_message_types)
 
+        def packed_gate(h):
+            if not cfg.edge_gates:
+                return None
+            p = jnp.dot(h, prop["gate_p"], preferred_element_type=jnp.float32)
+            q = jnp.dot(h, prop["gate_q"], preferred_element_type=jnp.float32)
+            score = jnp.sum(p[layout["src"]] * q[layout["dst"]], axis=-1)
+            return layout["mask"] * jax.nn.sigmoid(score)
+
         def step(h, _):
-            a = typed_aggregate_tiled(h, layout, prop["msg_w"], prop["msg_b"])
+            a = typed_aggregate_tiled(h, layout, prop["msg_w"], prop["msg_b"],
+                                      mask=packed_gate(h))
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None
     else:
         def step(h, _):
-            a = typed_aggregate(h, edge_src, edge_dst, edge_type, edge_mask,
-                                prop["msg_w"], prop["msg_b"],
+            a = typed_aggregate(h, edge_src, edge_dst, edge_type,
+                                edge_gate(h), prop["msg_w"], prop["msg_b"],
                                 strategy=cfg.agg_strategy)
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None

@@ -34,7 +34,12 @@ def init_prop(key, cfg: ModelConfig, dtype) -> dict:
         gru[f"w{g}"] = _uniform(kw, (D, D), D, dtype)
         gru[f"u{g}"] = _uniform(ku, (D, D), D, dtype)
         gru[f"b{g}"] = _uniform(kb, (D,), D, dtype)
-    return {"msg_w": msg_w, "msg_b": msg_b, "gru": gru}
+    prop = {"msg_w": msg_w, "msg_b": msg_b, "gru": gru}
+    if cfg.edge_gates:
+        G = cfg.gate_dim or D
+        prop["gate_p"] = _uniform(keys[5], (D, G), D, dtype)
+        prop["gate_q"] = _uniform(keys[6], (D, G), D, dtype)
+    return prop
 
 
 def init_mlp_head(key, cfg: ModelConfig, n_out: int, dtype) -> dict:

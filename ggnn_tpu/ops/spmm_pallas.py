@@ -126,12 +126,42 @@ def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def typed_aggregate_tiled(h, layout, msg_w, msg_b, interpret=None):
-    """Aggregation using a precomputed type-tiled layout (hot path: the
-    layout is built once per batch, outside the T-step scan)."""
+def _sddmm_kernel(p_ref, q_ref, out_ref):
+    out_ref[...] = jnp.sum(p_ref[...] * q_ref[...], axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_e", "interpret"))
+def sddmm_pallas(p_src, q_dst, tile_e: int = DEFAULT_TILE_E,
+                 interpret: bool | None = None):
+    """Pallas SDDMM: per-edge ⟨p_src[e], q_dst[e]⟩ over pre-gathered
+    endpoint features [E, G] → [E] (SURVEY.md §2.4 native-unit table).
+
+    E must be a multiple of ``tile_e`` (pad with zero rows)."""
     if interpret is None:
         interpret = _should_interpret()
-    msgs = packed_messages(h, layout["src"], layout["mask"],
+    E, G = p_src.shape
+    n_tiles = pl.cdiv(E, tile_e)
+    out = pl.pallas_call(
+        _sddmm_kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_e, G), lambda i: (i, 0)),
+                  pl.BlockSpec((tile_e, G), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((tile_e, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((E, 1), jnp.float32),
+        interpret=interpret,
+    )(p_src, q_dst)
+    return out[:, 0]
+
+
+def typed_aggregate_tiled(h, layout, msg_w, msg_b, interpret=None, mask=None):
+    """Aggregation using a precomputed type-tiled layout (hot path: the
+    layout is built once per batch, outside the T-step scan).  ``mask``
+    overrides the packed edge mask — used for per-step SDDMM edge gates
+    (values in [0,1] scale messages)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    msgs = packed_messages(h, layout["src"],
+                           layout["mask"] if mask is None else mask,
                            layout["tile_type"], msg_w, msg_b,
                            tile_e=layout["tile_e"], interpret=interpret)
     return jax.ops.segment_sum(msgs, layout["dst"], num_segments=h.shape[0])

@@ -58,12 +58,20 @@ def directed_edges(edges, n_edge_types: int) -> np.ndarray:
     return np.concatenate([fwd, rev], axis=0)
 
 
-def aggregate(h: np.ndarray, dir_edges: np.ndarray, msg_w, msg_b) -> np.ndarray:
-    """a_v = Σ over directed edges (u,t,v): h_u · msg_w[t] + msg_b[t]."""
+def aggregate(h: np.ndarray, dir_edges: np.ndarray, msg_w, msg_b,
+              gate_p=None, gate_q=None) -> np.ndarray:
+    """a_v = Σ over directed edges (u,t,v): g_uv · (h_u · msg_w[t] + msg_b[t]).
+
+    With ``gate_p/gate_q`` set, g_uv = σ(⟨h_u·P, h_v·Q⟩) — the SDDMM
+    edge-feature gate (BASELINE.json:5; capability extension over the
+    reference, SURVEY.md §2.4); otherwise g_uv = 1."""
     n, D = h.shape
     a = np.zeros((n, D), h.dtype)
+    p = h @ gate_p if gate_p is not None else None
+    q = h @ gate_q if gate_q is not None else None
     for (u, t, v) in dir_edges:
-        a[v] += h[u] @ msg_w[t] + msg_b[t]
+        g = _sigmoid(p[u] @ q[v]) if p is not None else 1.0
+        a[v] += g * (h[u] @ msg_w[t] + msg_b[t])
     return a
 
 
@@ -102,7 +110,8 @@ def oracle_propagate(prop: dict, annotations: np.ndarray, edges,
     de = directed_edges(edges, n_edge_types)
     out = [h]
     for _ in range(n_steps):
-        a = aggregate(h, de, prop["msg_w"], prop["msg_b"])
+        a = aggregate(h, de, prop["msg_w"], prop["msg_b"],
+                      prop.get("gate_p"), prop.get("gate_q"))
         h = gru_update(prop["gru"], h, a)
         out.append(h)
     return out
