@@ -34,9 +34,13 @@ def build_args():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--backend", type=str, default="auto",
-                    choices=["auto", "xla", "pallas"])
+                    choices=["auto", "xla", "pallas", "onehot"])
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--profile", type=str, default=None,
+                    help="dump a profiler trace to this directory")
     return ap.parse_args()
 
 
@@ -50,18 +54,26 @@ def main() -> int:
     from ggnn_tpu.models.ggnn import propagate
 
     batch = synthetic_batch(args.nodes, args.edges, args.types,
-                            annotation_dim=8, seed=0)
+                            annotation_dim=8, seed=0, node_mult=128)
     n_dir_edges = int(batch.edge_mask.sum())
 
     def bench_backend(backend: str) -> float:
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
-                          backend=backend, agg_strategy=args.agg)
+                          backend=backend, agg_strategy=args.agg,
+                          compute_dtype=args.dtype)
         params = init_params(jax.random.PRNGKey(0), cfg)
+        layout = None
+        if backend == "onehot":
+            from ggnn_tpu.ops.scatter_pallas import build_dst_block_layout
+            layout = build_dst_block_layout(
+                batch.edge_src, batch.edge_dst, batch.edge_type,
+                batch.edge_mask, batch.spec.n_pad)
 
         @jax.jit
         def run(prop, ann, es, ed, et, em, to):
-            h = propagate(prop, cfg, ann, es, ed, et, em, type_offsets=to)
+            h = propagate(prop, cfg, ann, es, ed, et, em, type_offsets=to,
+                          scatter_layout=layout)
             # reduce to a scalar: fetching it forces full execution even on
             # remote/tunneled backends where block_until_ready is lazy
             return jnp.sum(h)
@@ -72,14 +84,16 @@ def main() -> int:
         float(run(params["prop"], *ops))
         for _ in range(args.warmup):
             float(run(params["prop"], *ops))
+        from ggnn_tpu.profiling import trace
         best = float("inf")
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            float(run(params["prop"], *ops))
-            best = min(best, time.perf_counter() - t0)
+        with trace(args.profile):
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                float(run(params["prop"], *ops))
+                best = min(best, time.perf_counter() - t0)
         return n_dir_edges * args.steps / best
 
-    backends = (["xla", "pallas"] if args.backend == "auto"
+    backends = (["xla", "pallas", "onehot"] if args.backend == "auto"
                 else [args.backend])
     results = {}
     for b in backends:

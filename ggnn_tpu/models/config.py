@@ -24,6 +24,8 @@ class ModelConfig:
     ann_loss_weight: float = 1.0
     edge_gates: bool = False      # SDDMM edge-feature gates (BASELINE.json:5)
     gate_dim: int = 0             # SDDMM inner dim (0 → state_dim)
+    share_round_nets: bool = True  # GGS-NN: share F_o/F_x across rounds
+    compute_dtype: str = "float32"  # aggregation dtype (bf16 ok; f32 accum)
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas'
     param_dtype: str = "float32"

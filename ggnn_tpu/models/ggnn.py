@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ggnn_tpu.models.config import ModelConfig
 from ggnn_tpu.ops.segment import typed_aggregate
@@ -53,12 +54,19 @@ def fuse_gru(gru: dict) -> tuple:
 def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
               edge_src: jax.Array, edge_dst: jax.Array, edge_type: jax.Array,
               edge_mask: jax.Array, h0: jax.Array | None = None,
-              collect_states: bool = False, type_offsets: jax.Array | None = None):
+              collect_states: bool = False, type_offsets: jax.Array | None = None,
+              scatter_layout=None):
     """Run T propagation steps; returns final h [N, D] (and, if
     ``collect_states``, the stacked per-step states [T, N, D] for the
     oracle-parity tests, BASELINE.json:5)."""
     h = init_state(annotations, cfg.state_dim) if h0 is None else h0
     fused = fuse_gru(prop["gru"])
+    # aggregation compute dtype (bf16 halves HBM traffic on the gather/
+    # scatter-heavy path; accumulation stays f32 via preferred_element_type,
+    # GRU state stays f32 — SURVEY.md §7.2.4)
+    cdt = jnp.dtype(cfg.compute_dtype)
+    msg_w_c = prop["msg_w"].astype(cdt)
+    msg_b_c = prop["msg_b"].astype(cdt)
 
     def edge_gate(h):
         """SDDMM edge-feature gates g_uv = σ(⟨h_u·P, h_v·Q⟩)
@@ -72,7 +80,22 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         return edge_mask * jax.nn.sigmoid(
             sddmm(p, q, edge_src, edge_dst, edge_mask))
 
-    if cfg.backend == "pallas":
+    if cfg.backend == "onehot":
+        # MXU one-hot scatter path (ops/scatter_pallas.py): needs the
+        # host-built dst-block layout (topology-static, reused every step)
+        from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                                 build_dst_block_layout)
+        if scatter_layout is None:
+            scatter_layout = build_dst_block_layout(
+                np.asarray(edge_src), np.asarray(edge_dst),
+                np.asarray(edge_type), np.asarray(edge_mask), h.shape[0])
+
+        def step(h, _):
+            a = aggregate_onehot(h.astype(cdt), scatter_layout, msg_w_c,
+                                 msg_b_c)
+            h_new = gru_update(prop["gru"], h, a, fused)
+            return h_new, h_new if collect_states else None
+    elif cfg.backend == "pallas":
         from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
                                               typed_aggregate_tiled)
         if type_offsets is None:
@@ -95,14 +118,14 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             return layout["mask"] * jax.nn.sigmoid(score)
 
         def step(h, _):
-            a = typed_aggregate_tiled(h, layout, prop["msg_w"], prop["msg_b"],
+            a = typed_aggregate_tiled(h.astype(cdt), layout, msg_w_c, msg_b_c,
                                       mask=packed_gate(h))
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None
     else:
         def step(h, _):
-            a = typed_aggregate(h, edge_src, edge_dst, edge_type,
-                                edge_gate(h), prop["msg_w"], prop["msg_b"],
+            a = typed_aggregate(h.astype(cdt), edge_src, edge_dst, edge_type,
+                                edge_gate(h), msg_w_c, msg_b_c,
                                 strategy=cfg.agg_strategy)
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None

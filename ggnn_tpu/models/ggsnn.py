@@ -29,16 +29,23 @@ def ggsnn_forward(params: dict, cfg: ModelConfig, annotations, node_graph,
                   n_graphs: int):
     """Returns per-round graph logits [K, B, V] and final annotations."""
 
-    def round_fn(X, _):
+    def round_fn(X, round_params):
+        out_p, ann_p = round_params
         h = propagate(params["prop"], cfg, X, edge_src, edge_dst, edge_type,
                       edge_mask)
-        logits = graph_gated_logits(params["out"], h, X, node_graph,
+        logits = graph_gated_logits(out_p, h, X, node_graph,
                                     node_mask, n_graphs)
-        X_next = annotation_update(params["ann"], h, X) * node_mask[:, None]
+        X_next = annotation_update(ann_p, h, X) * node_mask[:, None]
         return X_next, (logits, X_next)
 
-    _, (logits, anns) = jax.lax.scan(round_fn, annotations, None,
-                                     length=cfg.n_rounds)
+    if cfg.share_round_nets:
+        _, (logits, anns) = jax.lax.scan(
+            lambda X, _: round_fn(X, (params["out"], params["ann"])),
+            annotations, None, length=cfg.n_rounds)
+    else:
+        # per-round nets: scan consumes the stacked leading-K params
+        _, (logits, anns) = jax.lax.scan(
+            round_fn, annotations, (params["out"], params["ann"]))
     return logits, anns  # [K, B, V], [K, N, A]
 
 

@@ -1,0 +1,185 @@
+"""MXU one-hot segment-scatter: the TPU-native replacement for XLA's
+row-serialized scatter-add (SURVEY.md §7.2.1 — "dst-collision handling on
+TPU (no cheap atomics) → sort edges by dst and use segmented accumulation
+inside the kernel").
+
+XLA lowers ``segment_sum`` on TPU to a scatter that processes colliding
+rows serially — ~140 ns/edge, which dominated the whole propagation step
+(measured ≈1.16 s for 8M edges).  This kernel instead:
+
+1. Groups directed edges by 128-row destination block (host-side layout,
+   topology-static — built once per batch, reused across all T steps and
+   training iterations), each group padded to a multiple of ``tile_e``.
+2. Runs a grid of (dst_block, edge_tile) programs.  Each program builds the
+   one-hot matrix ``O[v, e] = (dst[e] == v)`` on the VPU and accumulates
+   ``O · M`` (a [128, tile_e] × [tile_e, D] MXU matmul) into the output
+   block, which stays resident in VMEM across the inner grid dimension
+   (TPU grids execute sequentially → output revisiting is race-free).
+
+Padding edges carry ``dst_local = -1`` → an all-zero one-hot column, so no
+separate mask pass is needed.  FLOPs: 2·E·128·D — for D=128 the same as
+the message matmuls themselves, i.e. the scatter rides the MXU at matmul
+speed instead of serializing on the scalar core.
+
+``aggregate_onehot`` composes the full typed aggregation step:
+node-side per-type transforms (one big MXU einsum) → linear-order gather →
+one-hot scatter.  Best when ``2E·N ≲ |edges|`` (node transforms amortize);
+the type-tiled kernel in :mod:`ggnn_tpu.ops.spmm_pallas` covers the
+opposite regime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_N = 128  # destination rows per output block (MXU-sized)
+
+
+@dataclasses.dataclass
+class DstBlockLayout:
+    """Host-built, topology-static scatter layout (numpy arrays).
+
+    - ``gather_idx`` [E_pack]: ``type · N + src`` — row index into the
+      flattened [2E·N, D] node-transform table; padding rows point at 0
+      (their contribution is dropped by ``dst_local = -1``).
+    - ``dst_local`` [E_pack]: ``dst − 128·block`` in [0,128), or −1 padding.
+    - ``tile_start`` [n_blocks+1]: first edge-tile of each dst block.
+    - ``max_tiles``: static inner grid bound (max tiles of any block).
+    """
+
+    n_nodes_pad: int
+    tile_e: int
+    max_tiles: int
+    gather_idx: np.ndarray
+    dst_local: np.ndarray
+    tile_start: np.ndarray
+
+    @property
+    def n_blocks(self) -> int:
+        return self.n_nodes_pad // BLOCK_N
+
+
+def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
+                           n_nodes_pad: int, tile_e: int = 128) -> DstBlockLayout:
+    """Group real directed edges by destination block; pad each group to a
+    ``tile_e`` multiple.  Pure numpy — run once per batch topology."""
+    if n_nodes_pad % BLOCK_N:
+        raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
+    real = np.asarray(edge_mask) > 0
+    src = np.asarray(edge_src)[real].astype(np.int64)
+    dst = np.asarray(edge_dst)[real].astype(np.int64)
+    typ = np.asarray(edge_type)[real].astype(np.int64)
+    # primary: destination block (the scatter grouping); secondary: gather
+    # row (type·N + src) so the XLA gather sees near-sequential rows —
+    # within a block the one-hot scatter is order-invariant
+    grow = typ * n_nodes_pad + src
+    order = np.lexsort((grow, dst // BLOCK_N))
+    src, dst, typ = src[order], dst[order], typ[order]
+
+    n_blocks = n_nodes_pad // BLOCK_N
+    block = dst // BLOCK_N
+    counts = np.bincount(block, minlength=n_blocks)
+    tiles = (counts + tile_e - 1) // tile_e
+    tiles = np.maximum(tiles, 0)
+    tile_start = np.zeros(n_blocks + 1, np.int32)
+    np.cumsum(tiles, out=tile_start[1:])
+    e_pack = int(tile_start[-1]) * tile_e
+    max_tiles = int(tiles.max()) if n_blocks else 1
+
+    gather_idx = np.zeros(max(e_pack, tile_e), np.int32)
+    dst_local = np.full(max(e_pack, tile_e), -1, np.int32)
+    # packed position of each real edge: block's first slot + rank in block
+    block_edge_start = np.zeros(n_blocks + 1, np.int64)
+    np.cumsum(counts, out=block_edge_start[1:])
+    rank = np.arange(src.shape[0]) - block_edge_start[block]
+    pos = tile_start[block].astype(np.int64) * tile_e + rank
+    n_nodes_total = n_nodes_pad
+    gather_idx[pos] = (typ * n_nodes_total + src).astype(np.int32)
+    dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
+    return DstBlockLayout(
+        n_nodes_pad=n_nodes_pad, tile_e=tile_e,
+        max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
+        dst_local=dst_local, tile_start=tile_start)
+
+
+def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    count = tile_start_ref[b + 1] - tile_start_ref[b]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(j < count)
+    def _():
+        dst = dstl_ref[...]                               # [tile_e, 1] i32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, dst.shape[0]), 0)
+        onehot = (dst[:, 0][None, :] == rows).astype(msg_ref.dtype)
+        out_ref[...] += jnp.dot(onehot, msg_ref[...],
+                                preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "max_tiles", "tile_e",
+                                    "interpret"))
+def onehot_segment_scatter(messages, dst_local, tile_start, n_blocks: int,
+                           max_tiles: int, tile_e: int = 128,
+                           interpret: bool = False):
+    """messages [E_pack, D] (dst-block-grouped) → out [n_blocks·128, D]."""
+    D = messages.shape[-1]
+    n_total_tiles = messages.shape[0] // tile_e
+
+    def msg_index(b, j, ts):
+        return (jnp.minimum(ts[b] + j, n_total_tiles - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, max_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, D), msg_index),
+            pl.BlockSpec((tile_e, 1), msg_index),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, j, ts: (b, 0)),
+    )
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * messages.shape[0] * BLOCK_N * D,
+            bytes_accessed=messages.shape[0] * D * 4 + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(tile_start, messages, dst_local.reshape(-1, 1))
+
+
+def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
+                     interpret: bool | None = None):
+    """Full typed aggregation via node-side transforms + one-hot scatter.
+
+    a = scatter(gather(einsum(h, W) + b)) — every stage is MXU work or a
+    linear-order memory pass; no XLA scatter anywhere."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, D = h.shape
+    transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
+                             preferred_element_type=jnp.float32) \
+        + msg_b[:, None, :]
+    # keep the big gather table in the compute dtype (bf16 halves the
+    # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
+    table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
+    msgs = table[jnp.asarray(layout.gather_idx)]          # linear-order gather
+    out = onehot_segment_scatter(
+        msgs, jnp.asarray(layout.dst_local), jnp.asarray(layout.tile_start),
+        n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
+        tile_e=layout.tile_e, interpret=interpret)
+    return out[:N]

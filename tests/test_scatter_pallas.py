@@ -1,0 +1,107 @@
+"""One-hot MXU segment-scatter kernel tests (interpret mode on CPU):
+layout invariants and parity with the XLA segment path / oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggnn_tpu.graph import PaddingSpec, batch_graphs
+from ggnn_tpu.models import ModelConfig, init_params, propagate
+from ggnn_tpu.ops.scatter_pallas import (
+    BLOCK_N, aggregate_onehot, build_dst_block_layout, onehot_segment_scatter)
+from ggnn_tpu.ops.segment import typed_aggregate
+
+
+def random_edges(rng, n_nodes, n_edges, n_types):
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    typ = rng.integers(0, n_types, n_edges).astype(np.int32)
+    mask = np.ones(n_edges, np.float32)
+    # sprinkle padding edges
+    pad = rng.random(n_edges) < 0.1
+    mask[pad] = 0.0
+    return src, dst, typ, mask
+
+
+def test_layout_invariants(rng):
+    N, E, T2 = 256, 500, 6
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8)
+    # every real edge appears once with correct (gather_idx, dst) pairing
+    real = mask > 0
+    want = sorted(zip((typ[real].astype(np.int64) * N + src[real]).tolist(),
+                      dst[real].tolist()))
+    got = []
+    for pos in range(lay.gather_idx.shape[0]):
+        if lay.dst_local[pos] >= 0:
+            tile = pos // lay.tile_e
+            block = int(np.searchsorted(lay.tile_start, tile, "right")) - 1
+            got.append((int(lay.gather_idx[pos]),
+                        int(lay.dst_local[pos]) + block * BLOCK_N))
+    assert sorted(got) == want
+    assert lay.max_tiles >= 1
+    assert int(lay.tile_start[-1]) * lay.tile_e == lay.gather_idx.shape[0]
+
+
+def test_scatter_kernel_matches_segment_sum(rng):
+    N, D = 256, 16
+    E_pack, tile_e = 64, 8
+    msgs = rng.standard_normal((E_pack, D)).astype(np.float32)
+    # two blocks of edges: block 0 tiles [0,4), block 1 tiles [4, 8)
+    tile_start = np.array([0, 4, 8], np.int32)
+    dst_local = rng.integers(0, BLOCK_N, E_pack).astype(np.int32)
+    dst_local[rng.random(E_pack) < 0.2] = -1  # padding
+    out = onehot_segment_scatter(
+        jnp.asarray(msgs), jnp.asarray(dst_local), jnp.asarray(tile_start),
+        n_blocks=2, max_tiles=4, tile_e=tile_e, interpret=True)
+    # reference
+    ref = np.zeros((2 * BLOCK_N, D), np.float32)
+    for pos in range(E_pack):
+        if dst_local[pos] >= 0:
+            block = 0 if pos // tile_e < 4 else 1
+            ref[block * BLOCK_N + dst_local[pos]] += msgs[pos]
+    np.testing.assert_allclose(np.asarray(out)[:2 * BLOCK_N], ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_aggregate_onehot_matches_xla(rng):
+    N, E, T2, D = 256, 700, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_onehot(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_propagate_onehot_backend(rng):
+    graphs = []
+    for _ in range(3):
+        n = int(rng.integers(5, 12))
+        m = int(rng.integers(3, 2 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.5).astype(np.float32)
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann, targets={}))
+    spec = PaddingSpec(n_graphs=3, n_pad=BLOCK_N,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 4,
+                       n_edge_types=3, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    cfg_x = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=3)
+    cfg_o = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=3,
+                        backend="onehot")
+    params = init_params(jax.random.PRNGKey(2), cfg_x)
+    args = (jnp.asarray(b.annotations), jnp.asarray(b.edge_src),
+            jnp.asarray(b.edge_dst), jnp.asarray(b.edge_type),
+            jnp.asarray(b.edge_mask))
+    ref = propagate(params["prop"], cfg_x, *args)
+    got = propagate(params["prop"], cfg_o, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
