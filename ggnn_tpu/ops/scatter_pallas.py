@@ -60,6 +60,11 @@ class DstBlockLayout:
     gather_idx: np.ndarray
     dst_local: np.ndarray
     tile_start: np.ndarray
+    dst_global: np.ndarray  # [E_pack] global dst, −1 padding (backward pass)
+    # optional backward layout: same structure grouped by the (type·N+src)
+    # gather row, so the backward typed scatter also rides the one-hot
+    # kernel instead of XLA scatter (build_dst_block_layout(with_grad=True))
+    grad: "DstBlockLayout | None" = None
 
     @property
     def n_blocks(self) -> int:
@@ -67,9 +72,15 @@ class DstBlockLayout:
 
 
 def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
-                           n_nodes_pad: int, tile_e: int = 128) -> DstBlockLayout:
+                           n_nodes_pad: int, tile_e: int = 128,
+                           with_grad: bool = False,
+                           n_message_types: int | None = None) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
-    ``tile_e`` multiple.  Pure numpy — run once per batch topology."""
+    ``tile_e`` multiple.  Pure numpy — run once per batch topology.
+
+    ``with_grad=True`` additionally builds the transposed layout (grouped
+    by the type·N+src gather row, gathering from dst) so the backward
+    pass's typed scatter uses the one-hot kernel too."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
     real = np.asarray(edge_mask) > 0
@@ -95,6 +106,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
 
     gather_idx = np.zeros(max(e_pack, tile_e), np.int32)
     dst_local = np.full(max(e_pack, tile_e), -1, np.int32)
+    dst_global = np.full(max(e_pack, tile_e), -1, np.int32)
     # packed position of each real edge: block's first slot + rank in block
     block_edge_start = np.zeros(n_blocks + 1, np.int64)
     np.cumsum(counts, out=block_edge_start[1:])
@@ -103,10 +115,23 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     n_nodes_total = n_nodes_pad
     gather_idx[pos] = (typ * n_nodes_total + src).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
+    dst_global[pos] = dst.astype(np.int32)
+    grad = None
+    if with_grad:
+        if n_message_types is None:
+            n_message_types = int(typ.max(initial=0)) + 1
+        # transposed roles: group by gather row (t·N+src), gather from dst
+        grad = build_dst_block_layout(
+            edge_src=dst, edge_dst=typ * n_nodes_pad + src,
+            edge_type=np.zeros_like(typ),
+            edge_mask=np.ones(dst.shape[0], np.float32),
+            n_nodes_pad=n_message_types * n_nodes_pad,
+            tile_e=tile_e, with_grad=False)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
-        dst_local=dst_local, tile_start=tile_start)
+        dst_local=dst_local, tile_start=tile_start, dst_global=dst_global,
+        grad=grad)
 
 
 def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
@@ -167,9 +192,17 @@ def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
     """Full typed aggregation via node-side transforms + one-hot scatter.
 
     a = scatter(gather(einsum(h, W) + b)) — every stage is MXU work or a
-    linear-order memory pass; no XLA scatter anywhere."""
+    linear-order memory pass; no XLA scatter anywhere.  Differentiable:
+    the custom VJP uses the node-side formulation
+    (Y[t,u] = Σ_{(u,t,v)} ā_v; dh = Σ_t Y_t·W_tᵀ; dW_t = hᵀ·Y_t;
+    db_t = Σ_u Y_t[u]) — Y's typed scatter rides the one-hot kernel too
+    when the layout was built ``with_grad=True``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _aggregate_onehot(layout, interpret, h, msg_w, msg_b)
+
+
+def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
     N, D = h.shape
     transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
                              preferred_element_type=jnp.float32) \
@@ -183,3 +216,46 @@ def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
         n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
         tile_e=layout.tile_e, interpret=interpret)
     return out[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _aggregate_onehot(layout, interpret, h, msg_w, msg_b):
+    return _aggregate_impl(layout, interpret, h, msg_w, msg_b)
+
+
+def _aggregate_fwd(layout, interpret, h, msg_w, msg_b):
+    return _aggregate_impl(layout, interpret, h, msg_w, msg_b), (h, msg_w)
+
+
+def _typed_reverse_scatter(layout, interpret, da, T2, N, D):
+    """Y.flat[t·N+u] = Σ_{(u,t,v)} da[v] — via the grad one-hot layout when
+    present, else XLA segment_sum."""
+    if layout.grad is not None:
+        g = layout.grad
+        G = da[jnp.asarray(g.gather_idx)].astype(da.dtype)
+        Y_flat = onehot_segment_scatter(
+            G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
+            n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+            interpret=interpret)
+        return Y_flat[:T2 * N].reshape(T2, N, D)
+    mask = jnp.asarray(layout.dst_global >= 0)
+    G = da[jnp.asarray(np.maximum(layout.dst_global, 0))] * mask[:, None]
+    Y_flat = jax.ops.segment_sum(G, jnp.asarray(layout.gather_idx),
+                                 num_segments=T2 * N)
+    return Y_flat.reshape(T2, N, D)
+
+
+def _aggregate_bwd(layout, interpret, res, da):
+    h, msg_w = res
+    T2, D = msg_w.shape[0], msg_w.shape[-1]
+    N = h.shape[0]
+    Y = _typed_reverse_scatter(layout, interpret, da, T2, N, D)
+    dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    dW = jnp.einsum("nd,tnf->tdf", h, Y,
+                    preferred_element_type=jnp.float32).astype(msg_w.dtype)
+    db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
+    return dh, dW, db
+
+
+_aggregate_onehot.defvjp(_aggregate_fwd, _aggregate_bwd)
