@@ -157,14 +157,73 @@ def typed_aggregate_tiled(h, layout, msg_w, msg_b, interpret=None, mask=None):
     """Aggregation using a precomputed type-tiled layout (hot path: the
     layout is built once per batch, outside the T-step scan).  ``mask``
     overrides the packed edge mask — used for per-step SDDMM edge gates
-    (values in [0,1] scale messages)."""
+    (values in [0,1] scale messages).  Differentiable wrt h/msg_w/msg_b
+    and mask (the gate path needs d·/dmask)."""
     if interpret is None:
         interpret = _should_interpret()
-    msgs = packed_messages(h, layout["src"],
-                           layout["mask"] if mask is None else mask,
-                           layout["tile_type"], msg_w, msg_b,
-                           tile_e=layout["tile_e"], interpret=interpret)
-    return jax.ops.segment_sum(msgs, layout["dst"], num_segments=h.shape[0])
+    if mask is None:
+        mask = layout["mask"]
+    return _typed_tiled(layout["tile_e"], interpret, h, msg_w, msg_b, mask,
+                        layout["src"], layout["dst"], layout["tile_type"])
+
+
+def _int_zero_ct(x):
+    """float0 cotangent for integer primal args (layout index arrays are
+    traced values inside jit, so they must be primal args, not
+    nondiff_argnums)."""
+    import numpy as _np
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _typed_tiled_impl(tile_e, interpret, h, msg_w, msg_b, mask, src, dst,
+                      tile_type):
+    msgs = packed_messages(h, src, mask, tile_type, msg_w, msg_b,
+                           tile_e=tile_e, interpret=interpret)
+    return jax.ops.segment_sum(msgs, dst, num_segments=h.shape[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _typed_tiled(tile_e, interpret, h, msg_w, msg_b, mask, src, dst,
+                 tile_type):
+    return _typed_tiled_impl(tile_e, interpret, h, msg_w, msg_b, mask, src,
+                             dst, tile_type)
+
+
+def _typed_tiled_fwd(tile_e, interpret, h, msg_w, msg_b, mask, src, dst,
+                     tile_type):
+    out = _typed_tiled_impl(tile_e, interpret, h, msg_w, msg_b, mask, src,
+                            dst, tile_type)
+    return out, (h, msg_w, msg_b, mask, src, dst, tile_type)
+
+
+def _typed_tiled_bwd(tile_e, interpret, res, da):
+    """Node-side backward (see scatter_pallas._aggregate_bwd): with
+    ḡ_e = mask_e · da[dst_e], Y[t,u] = Σ_{(u,t,v)} ḡ; then
+    dh = Σ_t Y_t·W_tᵀ, dW_t = hᵀ·Y_t, db_t = Σ_u Y_t[u], and
+    dmask_e = ⟨m_e_unmasked, da[dst_e]⟩ (the SDDMM gate gradient)."""
+    h, msg_w, msg_b, mask, src, dst, tile_type = res
+    T2, D = msg_w.shape[0], msg_w.shape[-1]
+    N = h.shape[0]
+    etype = jnp.repeat(tile_type, tile_e)
+    g = da[dst]                                             # [E_pack, D]
+    gm = g * mask[:, None]
+    Y = jax.ops.segment_sum(gm, etype * N + src,
+                            num_segments=T2 * N).reshape(T2, N, D)
+    dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    dW = jnp.einsum("nd,tnf->tdf", h, Y,
+                    preferred_element_type=jnp.float32).astype(msg_w.dtype)
+    db = jnp.sum(Y, axis=1).astype(msg_b.dtype)
+    # unmasked messages for dmask (recompute — cheaper than stashing)
+    msgs_un = packed_messages(h, src, jnp.ones_like(mask), tile_type,
+                              msg_w, msg_b, tile_e=tile_e,
+                              interpret=interpret)
+    dmask = jnp.sum(msgs_un * g, axis=-1).astype(mask.dtype)
+    return (dh, dW, db, dmask,
+            _int_zero_ct(src), _int_zero_ct(dst), _int_zero_ct(tile_type))
+
+
+_typed_tiled.defvjp(_typed_tiled_fwd, _typed_tiled_bwd)
 
 
 def typed_aggregate_pallas(h, edge_src, edge_dst, edge_type, edge_mask,
