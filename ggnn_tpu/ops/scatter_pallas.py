@@ -298,10 +298,9 @@ def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
     # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
     msgs = table[jnp.asarray(layout.gather_idx)]          # linear-order gather
-    out = onehot_segment_scatter(
+    out = onehot_segment_scatter_looped(
         msgs, jnp.asarray(layout.dst_local), jnp.asarray(layout.tile_start),
-        n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
-        tile_e=layout.tile_e, interpret=interpret)
+        n_blocks=layout.n_blocks, tile_e=layout.tile_e, interpret=interpret)
     return out[:N]
 
 
@@ -320,10 +319,9 @@ def _typed_reverse_scatter(layout, interpret, da, T2, N, D):
     if layout.grad is not None:
         g = layout.grad
         G = da[jnp.asarray(g.gather_idx)].astype(da.dtype)
-        Y_flat = onehot_segment_scatter(
+        Y_flat = onehot_segment_scatter_looped(
             G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
-            n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
-            interpret=interpret)
+            n_blocks=g.n_blocks, tile_e=g.tile_e, interpret=interpret)
         return Y_flat[:T2 * N].reshape(T2, N, D)
     mask = jnp.asarray(layout.dst_global >= 0)
     G = da[jnp.asarray(np.maximum(layout.dst_global, 0))] * mask[:, None]
