@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     ap.add_argument("--restore", type=str, help="checkpoint to resume from")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a profiler trace into this directory")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -49,13 +51,16 @@ def main(argv=None) -> int:
     from ggnn_tpu.train.loop import Trainer
 
     overrides = {k: v for k, v in vars(args).items()
-                 if k not in ("config", "restore", "platform") and v is not None}
+                 if k not in ("config", "restore", "platform", "profile")
+                 and v is not None}
     cfg = build_config(args.config, **overrides)
     print(f"config: {cfg}", file=sys.stderr)
     trainer = Trainer(cfg)
     if args.restore:
         trainer.restore(args.restore)
-    result = trainer.run()
+    from ggnn_tpu.profiling import trace
+    with trace(args.profile):
+        result = trainer.run()
     print(json.dumps(result))
     return 0
 
