@@ -202,7 +202,10 @@ def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
         row0 = (start + k) * tile_e
         m = pltpu.make_async_copy(msg_hbm.at[pl.ds(row0, tile_e), :],
                                   msg_buf.at[slot], msg_sem.at[slot])
-        d = pltpu.make_async_copy(dst_hbm.at[pl.ds(row0, tile_e), :],
+        # dst ids stream as [1, tile_e] rows (lane-major — a (tile_e, 1)
+        # int32 tile would be 1-lane × tile_e-sublane, which the Mosaic
+        # compiler rejects)
+        d = pltpu.make_async_copy(dst_hbm.at[pl.ds(start + k, 1), :],
                                   dst_buf.at[slot], dst_sem.at[slot])
         return m, d
 
@@ -225,9 +228,9 @@ def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
         m, d = make_dmas(slot, k)
         m.wait()
         d.wait()
-        dst = dst_buf[slot]                                  # [tile_e, 1]
+        dst = dst_buf[slot]                                  # [1, tile_e]
         rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, tile_e), 0)
-        onehot = (dst[:, 0][None, :] == rows).astype(msg_buf.dtype)
+        onehot = (dst == rows).astype(msg_buf.dtype)         # broadcast rows
         out_ref[...] += jnp.dot(onehot, msg_buf[slot],
                                 preferred_element_type=jnp.float32)
         return 0
@@ -242,7 +245,12 @@ def onehot_segment_scatter_looped(messages, dst_local, tile_start,
                                   interpret: bool = False):
     """Pipelined variant of :func:`onehot_segment_scatter`: grid is
     (n_blocks,) and each program streams its edge tiles through a
-    double-buffered DMA loop.  No ``max_tiles`` bound needed."""
+    double-buffered DMA loop.  No ``max_tiles`` bound needed.
+
+    NOTE: the current Mosaic toolchain rejects the 1-row dst-id DMA slice
+    ("Slice shape along dimension 0 must be aligned to tiling (8)"), so
+    this variant runs in interpret mode only for now; production uses the
+    2-D-grid kernel with large ``tile_e`` (see docs/DESIGN.md)."""
     D = messages.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -254,7 +262,7 @@ def onehot_segment_scatter_looped(messages, dst_local, tile_start,
         out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, ts: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, tile_e, D), messages.dtype),
-            pltpu.VMEM((2, tile_e, 1), jnp.int32),
+            pltpu.VMEM((2, 1, tile_e), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -271,7 +279,7 @@ def onehot_segment_scatter_looped(messages, dst_local, tile_start,
             + n_blocks * BLOCK_N * D * 4,
             transcendentals=0,
         ),
-    )(tile_start, messages, dst_local.reshape(-1, 1))
+    )(tile_start, messages, dst_local.reshape(-1, tile_e))
 
 
 def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
@@ -298,9 +306,10 @@ def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
     # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
     msgs = table[jnp.asarray(layout.gather_idx)]          # linear-order gather
-    out = onehot_segment_scatter_looped(
+    out = onehot_segment_scatter(
         msgs, jnp.asarray(layout.dst_local), jnp.asarray(layout.tile_start),
-        n_blocks=layout.n_blocks, tile_e=layout.tile_e, interpret=interpret)
+        n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
+        tile_e=layout.tile_e, interpret=interpret)
     return out[:N]
 
 
@@ -319,9 +328,10 @@ def _typed_reverse_scatter(layout, interpret, da, T2, N, D):
     if layout.grad is not None:
         g = layout.grad
         G = da[jnp.asarray(g.gather_idx)].astype(da.dtype)
-        Y_flat = onehot_segment_scatter_looped(
+        Y_flat = onehot_segment_scatter(
             G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
-            n_blocks=g.n_blocks, tile_e=g.tile_e, interpret=interpret)
+            n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+            interpret=interpret)
         return Y_flat[:T2 * N].reshape(T2, N, D)
     mask = jnp.asarray(layout.dst_global >= 0)
     G = da[jnp.asarray(np.maximum(layout.dst_global, 0))] * mask[:, None]

@@ -121,19 +121,23 @@ class Trainer:
     # -- loops ------------------------------------------------------------
     def train_epoch(self) -> dict:
         sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+        edges = 0.0
         t0 = time.perf_counter()
         for batch in self.train_loader.epoch_batches(self.epoch):
             self.params, self.opt_state, m = self.train_step(
                 self.params, self.opt_state, batch.arrays)
             self.step += 1
+            edges += float(batch.edge_mask.sum())
             for k in sums:
                 sums[k] += float(m[k])
         dt = time.perf_counter() - t0
         self.epoch += 1
         n = max(sums["count"], 1.0)
+        # propagated edge-messages per second (directed edges × T steps)
+        eps = edges * self.cfg.model.n_steps / max(dt, 1e-9)
         return {"split": "train", "epoch": self.epoch, "step": self.step,
                 "loss": sums["loss_sum"] / n, "accuracy": sums["correct"] / n,
-                "epoch_time_s": dt}
+                "epoch_time_s": dt, "edges_per_sec": eps}
 
     def evaluate(self) -> dict:
         sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
