@@ -61,6 +61,11 @@ class DstBlockLayout:
     dst_local: np.ndarray
     tile_start: np.ndarray
     dst_global: np.ndarray  # [E_pack] global dst, −1 padding (backward pass)
+    # precomputed one-hot stream [E_pack, BLOCK_N] int8 (topology-static):
+    # lets the scatter kernel be a pure two-stream MXU dot_general with no
+    # dst-id side stream (a (tile_e,1) i32 block DMAs as 128 padded lanes —
+    # 128× traffic inflation — and was the measured bottleneck)
+    onehot: "np.ndarray | None" = None
     # optional backward layout: same structure grouped by the (type·N+src)
     # gather row, so the backward typed scatter also rides the one-hot
     # kernel instead of XLA scatter (build_dst_block_layout(with_grad=True))
@@ -74,7 +79,8 @@ class DstBlockLayout:
 def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, tile_e: int = 128,
                            with_grad: bool = False,
-                           n_message_types: int | None = None) -> DstBlockLayout:
+                           n_message_types: int | None = None,
+                           onehot_stream: bool = True) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
 
@@ -116,6 +122,10 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     gather_idx[pos] = (typ * n_nodes_total + src).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
     dst_global[pos] = dst.astype(np.int32)
+    onehot = None
+    if onehot_stream:
+        onehot = np.zeros((gather_idx.shape[0], BLOCK_N), np.int8)
+        onehot[pos, dst_local[pos]] = 1
     grad = None
     if with_grad:
         if n_message_types is None:
@@ -126,12 +136,12 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
             edge_type=np.zeros_like(typ),
             edge_mask=np.ones(dst.shape[0], np.float32),
             n_nodes_pad=n_message_types * n_nodes_pad,
-            tile_e=tile_e, with_grad=False)
+            tile_e=tile_e, with_grad=False, onehot_stream=onehot_stream)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
         dst_local=dst_local, tile_start=tile_start, dst_global=dst_global,
-        grad=grad)
+        onehot=onehot, grad=grad)
 
 
 def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
@@ -185,6 +195,65 @@ def onehot_segment_scatter(messages, dst_local, tile_start, n_blocks: int,
             transcendentals=0,
         ),
     )(tile_start, messages, dst_local.reshape(-1, 1))
+
+
+def _scatter_stream_kernel(tile_start_ref, msg_ref, oh_ref, out_ref):
+    """Two-stream tile: out += onehotᵀ·msg — one MXU dot_general, no dst
+    ids, no VPU one-hot build."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    count = tile_start_ref[b + 1] - tile_start_ref[b]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(j < count)
+    def _():
+        oh = oh_ref[...].astype(msg_ref.dtype)               # [tile_e, 128]
+        out_ref[...] += jax.lax.dot_general(
+            oh, msg_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "max_tiles", "tile_e",
+                                    "interpret"))
+def onehot_segment_scatter_stream(messages, onehot_i8, tile_start,
+                                  n_blocks: int, max_tiles: int,
+                                  tile_e: int = 512,
+                                  interpret: bool = False):
+    """messages [E_pack, D] + onehot stream [E_pack, BLOCK_N] int8 →
+    out [n_blocks·BLOCK_N, D].  The one-hot stream is topology-static
+    (built once per batch) — the kernel is pure streaming MXU work."""
+    D = messages.shape[-1]
+    n_total_tiles = messages.shape[0] // tile_e
+
+    def tile_index(b, j, ts):
+        return (jnp.minimum(ts[b] + j, n_total_tiles - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, max_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_e, D), tile_index),
+            pl.BlockSpec((tile_e, BLOCK_N), tile_index),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, j, ts: (b, 0)),
+    )
+    return pl.pallas_call(
+        _scatter_stream_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * messages.shape[0] * BLOCK_N * D,
+            bytes_accessed=messages.shape[0] * (D * messages.dtype.itemsize
+                                                + BLOCK_N)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(tile_start, messages, onehot_i8)
 
 
 def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
@@ -306,10 +375,17 @@ def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
     # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
     msgs = table[jnp.asarray(layout.gather_idx)]          # linear-order gather
-    out = onehot_segment_scatter(
-        msgs, jnp.asarray(layout.dst_local), jnp.asarray(layout.tile_start),
-        n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
-        tile_e=layout.tile_e, interpret=interpret)
+    if layout.onehot is not None:
+        out = onehot_segment_scatter_stream(
+            msgs, jnp.asarray(layout.onehot), jnp.asarray(layout.tile_start),
+            n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
+            tile_e=layout.tile_e, interpret=interpret)
+    else:
+        out = onehot_segment_scatter(
+            msgs, jnp.asarray(layout.dst_local),
+            jnp.asarray(layout.tile_start), n_blocks=layout.n_blocks,
+            max_tiles=layout.max_tiles, tile_e=layout.tile_e,
+            interpret=interpret)
     return out[:N]
 
 
@@ -328,10 +404,16 @@ def _typed_reverse_scatter(layout, interpret, da, T2, N, D):
     if layout.grad is not None:
         g = layout.grad
         G = da[jnp.asarray(g.gather_idx)].astype(da.dtype)
-        Y_flat = onehot_segment_scatter(
-            G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
-            n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
-            interpret=interpret)
+        if g.onehot is not None:
+            Y_flat = onehot_segment_scatter_stream(
+                G, jnp.asarray(g.onehot), jnp.asarray(g.tile_start),
+                n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+                interpret=interpret)
+        else:
+            Y_flat = onehot_segment_scatter(
+                G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
+                n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+                interpret=interpret)
         return Y_flat[:T2 * N].reshape(T2, N, D)
     mask = jnp.asarray(layout.dst_global >= 0)
     G = da[jnp.asarray(np.maximum(layout.dst_global, 0))] * mask[:, None]
