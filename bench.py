@@ -66,21 +66,26 @@ def main() -> int:
         layout = None
         if backend == "onehot":
             from ggnn_tpu.ops.scatter_pallas import build_dst_block_layout
+            # device layout passes through jit ARGUMENTS — a closure
+            # constant would bake the one-hot stream into the compile
+            # payload (HTTP 413 on remote compile)
             layout = build_dst_block_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
-                batch.edge_mask, batch.spec.n_pad)
+                batch.edge_mask, batch.spec.n_pad,
+                tile_e=512).to_device()
 
         @jax.jit
-        def run(prop, ann, es, ed, et, em, to):
+        def run(prop, ann, es, ed, et, em, to, lay):
             h = propagate(prop, cfg, ann, es, ed, et, em, type_offsets=to,
-                          scatter_layout=layout)
+                          scatter_layout=lay)
             # reduce to a scalar: fetching it forces full execution even on
             # remote/tunneled backends where block_until_ready is lazy
             return jnp.sum(h)
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),
-               jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets))
+               jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets),
+               layout)
         float(run(params["prop"], *ops))
         for _ in range(args.warmup):
             float(run(params["prop"], *ops))

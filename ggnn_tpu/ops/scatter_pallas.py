@@ -75,6 +75,73 @@ class DstBlockLayout:
     def n_blocks(self) -> int:
         return self.n_nodes_pad // BLOCK_N
 
+    def to_device(self) -> "DeviceScatterLayout":
+        """Move the layout onto the device as a jit-traversable pytree.
+
+        REQUIRED for remote-compile / large-graph use: arrays referenced
+        from inside a traced function become HLO constants (a 1 GB one-hot
+        stream overflows the compile payload); a DeviceScatterLayout passes
+        through jit as ordinary arguments instead."""
+        import jax.numpy as _jnp
+        arrays = {"gather_idx": _jnp.asarray(self.gather_idx),
+                  "tile_start": _jnp.asarray(self.tile_start),
+                  "dst_local": _jnp.asarray(self.dst_local),
+                  "dst_global": _jnp.asarray(self.dst_global)}
+        if self.onehot is not None:
+            arrays["onehot"] = _jnp.asarray(self.onehot)
+        grad_meta = None
+        if self.grad is not None:
+            g = self.grad
+            arrays["g_gather_idx"] = _jnp.asarray(g.gather_idx)
+            arrays["g_tile_start"] = _jnp.asarray(g.tile_start)
+            arrays["g_dst_local"] = _jnp.asarray(g.dst_local)
+            if g.onehot is not None:
+                arrays["g_onehot"] = _jnp.asarray(g.onehot)
+            grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
+                         g.onehot is not None)
+        meta = (self.n_nodes_pad, self.tile_e, self.max_tiles,
+                self.n_blocks, self.onehot is not None, grad_meta)
+        return DeviceScatterLayout(meta=meta, arrays=arrays)
+
+
+@dataclasses.dataclass
+class DeviceScatterLayout:
+    """Jit-argument form of :class:`DstBlockLayout` (registered pytree:
+    ``arrays`` are leaves, ``meta`` is static aux data)."""
+
+    meta: tuple
+    arrays: dict
+
+    @property
+    def n_nodes_pad(self):
+        return self.meta[0]
+
+    @property
+    def tile_e(self):
+        return self.meta[1]
+
+    @property
+    def max_tiles(self):
+        return self.meta[2]
+
+    @property
+    def n_blocks(self):
+        return self.meta[3]
+
+    @property
+    def has_onehot(self):
+        return self.meta[4]
+
+    @property
+    def grad_meta(self):
+        return self.meta[5]
+
+
+jax.tree_util.register_pytree_node(
+    DeviceScatterLayout,
+    lambda l: ((l.arrays,), l.meta),
+    lambda meta, children: DeviceScatterLayout(meta=meta, arrays=children[0]))
+
 
 def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, tile_e: int = 128,
@@ -351,8 +418,7 @@ def onehot_segment_scatter_looped(messages, dst_local, tile_start,
     )(tile_start, messages, dst_local.reshape(-1, tile_e))
 
 
-def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
-                     interpret: bool | None = None):
+def aggregate_onehot(h, layout, msg_w, msg_b, interpret: bool | None = None):
     """Full typed aggregation via node-side transforms + one-hot scatter.
 
     a = scatter(gather(einsum(h, W) + b)) — every stage is MXU work or a
@@ -360,13 +426,22 @@ def aggregate_onehot(h, layout: DstBlockLayout, msg_w, msg_b,
     the custom VJP uses the node-side formulation
     (Y[t,u] = Σ_{(u,t,v)} ā_v; dh = Σ_t Y_t·W_tᵀ; dW_t = hᵀ·Y_t;
     db_t = Σ_u Y_t[u]) — Y's typed scatter rides the one-hot kernel too
-    when the layout was built ``with_grad=True``."""
+    when the layout was built ``with_grad=True``.
+
+    ``layout`` may be a host :class:`DstBlockLayout` (small graphs — its
+    arrays become trace constants) or a :class:`DeviceScatterLayout`
+    (required under jit for large graphs; pass it through the jitted
+    function's arguments)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _aggregate_onehot(layout, interpret, h, msg_w, msg_b)
+    if isinstance(layout, DstBlockLayout):
+        layout = layout.to_device()
+    return _aggregate_onehot(layout.meta, interpret, layout.arrays, h,
+                             msg_w, msg_b)
 
 
-def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
+def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
+    n_nodes_pad, tile_e, max_tiles, n_blocks, has_onehot, _ = meta
     N, D = h.shape
     transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
                              preferred_element_type=jnp.float32) \
@@ -374,65 +449,66 @@ def _aggregate_impl(layout, interpret, h, msg_w, msg_b):
     # keep the big gather table in the compute dtype (bf16 halves the
     # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
-    msgs = table[jnp.asarray(layout.gather_idx)]          # linear-order gather
-    if layout.onehot is not None:
+    msgs = table[arrs["gather_idx"]]                      # linear-order gather
+    if has_onehot:
         out = onehot_segment_scatter_stream(
-            msgs, jnp.asarray(layout.onehot), jnp.asarray(layout.tile_start),
-            n_blocks=layout.n_blocks, max_tiles=layout.max_tiles,
-            tile_e=layout.tile_e, interpret=interpret)
+            msgs, arrs["onehot"], arrs["tile_start"], n_blocks=n_blocks,
+            max_tiles=max_tiles, tile_e=tile_e, interpret=interpret)
     else:
         out = onehot_segment_scatter(
-            msgs, jnp.asarray(layout.dst_local),
-            jnp.asarray(layout.tile_start), n_blocks=layout.n_blocks,
-            max_tiles=layout.max_tiles, tile_e=layout.tile_e,
-            interpret=interpret)
+            msgs, arrs["dst_local"], arrs["tile_start"], n_blocks=n_blocks,
+            max_tiles=max_tiles, tile_e=tile_e, interpret=interpret)
     return out[:N]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _aggregate_onehot(layout, interpret, h, msg_w, msg_b):
-    return _aggregate_impl(layout, interpret, h, msg_w, msg_b)
+def _aggregate_onehot(meta, interpret, arrs, h, msg_w, msg_b):
+    return _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b)
 
 
-def _aggregate_fwd(layout, interpret, h, msg_w, msg_b):
-    return _aggregate_impl(layout, interpret, h, msg_w, msg_b), (h, msg_w)
+def _aggregate_fwd(meta, interpret, arrs, h, msg_w, msg_b):
+    out = _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b)
+    return out, (arrs, h, msg_w)
 
 
-def _typed_reverse_scatter(layout, interpret, da, T2, N, D):
+def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
     """Y.flat[t·N+u] = Σ_{(u,t,v)} da[v] — via the grad one-hot layout when
     present, else XLA segment_sum."""
-    if layout.grad is not None:
-        g = layout.grad
-        G = da[jnp.asarray(g.gather_idx)].astype(da.dtype)
-        if g.onehot is not None:
+    grad_meta = meta[5]
+    if grad_meta is not None:
+        g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta
+        G = da[arrs["g_gather_idx"]].astype(da.dtype)
+        if g_has_onehot:
             Y_flat = onehot_segment_scatter_stream(
-                G, jnp.asarray(g.onehot), jnp.asarray(g.tile_start),
-                n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+                G, arrs["g_onehot"], arrs["g_tile_start"],
+                n_blocks=g_blocks, max_tiles=g_max_tiles, tile_e=g_tile_e,
                 interpret=interpret)
         else:
             Y_flat = onehot_segment_scatter(
-                G, jnp.asarray(g.dst_local), jnp.asarray(g.tile_start),
-                n_blocks=g.n_blocks, max_tiles=g.max_tiles, tile_e=g.tile_e,
+                G, arrs["g_dst_local"], arrs["g_tile_start"],
+                n_blocks=g_blocks, max_tiles=g_max_tiles, tile_e=g_tile_e,
                 interpret=interpret)
         return Y_flat[:T2 * N].reshape(T2, N, D)
-    mask = jnp.asarray(layout.dst_global >= 0)
-    G = da[jnp.asarray(np.maximum(layout.dst_global, 0))] * mask[:, None]
-    Y_flat = jax.ops.segment_sum(G, jnp.asarray(layout.gather_idx),
+    mask = arrs["dst_global"] >= 0
+    G = da[jnp.maximum(arrs["dst_global"], 0)] * mask[:, None]
+    Y_flat = jax.ops.segment_sum(G, arrs["gather_idx"],
                                  num_segments=T2 * N)
     return Y_flat.reshape(T2, N, D)
 
 
-def _aggregate_bwd(layout, interpret, res, da):
-    h, msg_w = res
+def _aggregate_bwd(meta, interpret, res, da):
+    arrs, h, msg_w = res
     T2, D = msg_w.shape[0], msg_w.shape[-1]
     N = h.shape[0]
-    Y = _typed_reverse_scatter(layout, interpret, da, T2, N, D)
+    Y = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D)
     dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
                     preferred_element_type=jnp.float32).astype(h.dtype)
     dW = jnp.einsum("nd,tnf->tdf", h, Y,
                     preferred_element_type=jnp.float32).astype(msg_w.dtype)
     db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
-    return dh, dW, db
+    d_arrs = jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
+    return d_arrs, dh, dW, db
 
 
 _aggregate_onehot.defvjp(_aggregate_fwd, _aggregate_bwd)
