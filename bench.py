@@ -39,6 +39,9 @@ def build_args():
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--mode", type=str, default="fwd",
+                    choices=["fwd", "train"],
+                    help="fwd: propagation only; train: full fwd+bwd+Adam")
     ap.add_argument("--profile", type=str, default=None,
                     help="dump a profiler trace to this directory")
     return ap.parse_args()
@@ -71,30 +74,60 @@ def main() -> int:
             # payload (HTTP 413 on remote compile)
             layout = build_dst_block_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
-                batch.edge_mask, batch.spec.n_pad,
-                tile_e=512).to_device()
-
-        @jax.jit
-        def run(prop, ann, es, ed, et, em, to, lay):
-            h = propagate(prop, cfg, ann, es, ed, et, em, type_offsets=to,
-                          scatter_layout=lay)
-            # reduce to a scalar: fetching it forces full execution even on
-            # remote/tunneled backends where block_until_ready is lazy
-            return jnp.sum(h)
+                batch.edge_mask, batch.spec.n_pad, tile_e=512,
+                with_grad=(args.mode == "train"),
+                n_message_types=2 * args.types).to_device()
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),
                jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets),
                layout)
-        float(run(params["prop"], *ops))
+
+        if args.mode == "fwd":
+            @jax.jit
+            def run(prop, ann, es, ed, et, em, to, lay):
+                h = propagate(prop, cfg, ann, es, ed, et, em,
+                              type_offsets=to, scatter_layout=lay)
+                # scalar reduce: fetching it forces full execution even on
+                # remote backends where block_until_ready is lazy
+                return jnp.sum(h)
+
+            state = [params["prop"]]
+
+            def step():
+                return float(run(state[0], *ops))
+        else:
+            import optax
+            optimizer = optax.adam(1e-3)
+            opt_state = optimizer.init(params["prop"])
+
+            @jax.jit
+            def train(prop, opt_state, ann, es, ed, et, em, to, lay):
+                def loss_fn(p):
+                    h = propagate(p, cfg, ann, es, ed, et, em,
+                                  type_offsets=to, scatter_layout=lay)
+                    return jnp.sum(h * h)
+                loss, grads = jax.value_and_grad(loss_fn)(prop)
+                updates, opt_state = optimizer.update(grads, opt_state, prop)
+                prop = optax.apply_updates(prop, updates)
+                return prop, opt_state, loss
+
+            state = [params["prop"], opt_state]
+
+            def step():
+                p, o, loss = train(state[0], state[1], *ops)
+                state[0], state[1] = p, o
+                return float(loss)
+
+        step()
         for _ in range(args.warmup):
-            float(run(params["prop"], *ops))
+            step()
         from ggnn_tpu.profiling import trace
         best = float("inf")
         with trace(args.profile):
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                float(run(params["prop"], *ops))
+                step()
                 best = min(best, time.perf_counter() - t0)
         return n_dir_edges * args.steps / best
 
