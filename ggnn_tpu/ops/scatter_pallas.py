@@ -60,6 +60,7 @@ class DstBlockLayout:
     gather_idx: np.ndarray
     dst_local: np.ndarray
     tile_start: np.ndarray
+    block_of_tile: np.ndarray  # [n_total_tiles] dst block per packed tile
     dst_global: np.ndarray  # [E_pack] global dst, −1 padding (backward pass)
     # precomputed one-hot stream [E_pack, BLOCK_N] int8 (topology-static):
     # lets the scatter kernel be a pure two-stream MXU dot_general with no
@@ -85,6 +86,7 @@ class DstBlockLayout:
         import jax.numpy as _jnp
         arrays = {"gather_idx": _jnp.asarray(self.gather_idx),
                   "tile_start": _jnp.asarray(self.tile_start),
+                  "block_of_tile": _jnp.asarray(self.block_of_tile),
                   "dst_local": _jnp.asarray(self.dst_local),
                   "dst_global": _jnp.asarray(self.dst_global)}
         if self.onehot is not None:
@@ -94,6 +96,7 @@ class DstBlockLayout:
             g = self.grad
             arrays["g_gather_idx"] = _jnp.asarray(g.gather_idx)
             arrays["g_tile_start"] = _jnp.asarray(g.tile_start)
+            arrays["g_block_of_tile"] = _jnp.asarray(g.block_of_tile)
             arrays["g_dst_local"] = _jnp.asarray(g.dst_local)
             if g.onehot is not None:
                 arrays["g_onehot"] = _jnp.asarray(g.onehot)
@@ -171,7 +174,9 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     block = dst // BLOCK_N
     counts = np.bincount(block, minlength=n_blocks)
     tiles = (counts + tile_e - 1) // tile_e
-    tiles = np.maximum(tiles, 0)
+    # every block gets >=1 (possibly all-padding) tile so the flat-grid
+    # kernel's first-tile zero-init covers blocks with no incoming edges
+    tiles = np.maximum(tiles, 1)
     tile_start = np.zeros(n_blocks + 1, np.int32)
     np.cumsum(tiles, out=tile_start[1:])
     e_pack = int(tile_start[-1]) * tile_e
@@ -189,6 +194,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     gather_idx[pos] = (typ * n_nodes_total + src).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
     dst_global[pos] = dst.astype(np.int32)
+    block_of_tile = np.repeat(np.arange(n_blocks, dtype=np.int32),
+                              tiles.astype(np.int64))
     onehot = None
     if onehot_stream:
         onehot = np.zeros((gather_idx.shape[0], BLOCK_N), np.int8)
@@ -207,7 +214,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
-        dst_local=dst_local, tile_start=tile_start, dst_global=dst_global,
+        dst_local=dst_local, tile_start=tile_start,
+        block_of_tile=block_of_tile, dst_global=dst_global,
         onehot=onehot, grad=grad)
 
 
@@ -321,6 +329,60 @@ def onehot_segment_scatter_stream(messages, onehot_i8, tile_start,
             transcendentals=0,
         ),
     )(tile_start, messages, onehot_i8)
+
+
+def _scatter_stream_flat_kernel(block_of_tile_ref, tile_start_ref, msg_ref,
+                                oh_ref, out_ref):
+    """Flat 1-D grid over edge tiles: no empty programs, no clamped
+    duplicate DMAs.  Output block revisiting holds across consecutive
+    tiles of the same dst block (TPU grids run sequentially)."""
+    i = pl.program_id(0)
+    b = block_of_tile_ref[i]
+
+    @pl.when(i == tile_start_ref[b])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    oh = oh_ref[...].astype(msg_ref.dtype)
+    out_ref[...] += jax.lax.dot_general(
+        oh, msg_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "tile_e", "interpret"))
+def onehot_segment_scatter_flat(messages, onehot_i8, tile_start,
+                                block_of_tile, n_blocks: int,
+                                tile_e: int = 2048,
+                                interpret: bool = False):
+    """Flat-grid variant of :func:`onehot_segment_scatter_stream`.
+
+    ``block_of_tile`` [n_total_tiles] maps each packed edge tile to its
+    dst block (host-precomputed, topology-static)."""
+    D = messages.shape[-1]
+    n_total_tiles = messages.shape[0] // tile_e
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_e, D), lambda i, bt, ts: (i, 0)),
+            pl.BlockSpec((tile_e, BLOCK_N), lambda i, bt, ts: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, D), lambda i, bt, ts: (bt[i], 0)),
+    )
+    return pl.pallas_call(
+        _scatter_stream_flat_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * messages.shape[0] * BLOCK_N * D,
+            bytes_accessed=messages.shape[0] * (D * messages.dtype.itemsize
+                                                + BLOCK_N)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(block_of_tile, tile_start, messages, onehot_i8)
 
 
 def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
@@ -451,9 +513,9 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
     msgs = table[arrs["gather_idx"]]                      # linear-order gather
     if has_onehot:
-        out = onehot_segment_scatter_stream(
-            msgs, arrs["onehot"], arrs["tile_start"], n_blocks=n_blocks,
-            max_tiles=max_tiles, tile_e=tile_e, interpret=interpret)
+        out = onehot_segment_scatter_flat(
+            msgs, arrs["onehot"], arrs["tile_start"], arrs["block_of_tile"],
+            n_blocks=n_blocks, tile_e=tile_e, interpret=interpret)
     else:
         out = onehot_segment_scatter(
             msgs, arrs["dst_local"], arrs["tile_start"], n_blocks=n_blocks,
@@ -479,10 +541,10 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
         g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta
         G = da[arrs["g_gather_idx"]].astype(da.dtype)
         if g_has_onehot:
-            Y_flat = onehot_segment_scatter_stream(
+            Y_flat = onehot_segment_scatter_flat(
                 G, arrs["g_onehot"], arrs["g_tile_start"],
-                n_blocks=g_blocks, max_tiles=g_max_tiles, tile_e=g_tile_e,
-                interpret=interpret)
+                arrs["g_block_of_tile"], n_blocks=g_blocks,
+                tile_e=g_tile_e, interpret=interpret)
         else:
             Y_flat = onehot_segment_scatter(
                 G, arrs["g_dst_local"], arrs["g_tile_start"],
