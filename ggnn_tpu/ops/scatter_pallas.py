@@ -42,6 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_N = 128  # destination rows per output block (MXU-sized)
 
 
+def _rup_block(x: int) -> int:
+    return ((x + BLOCK_N - 1) // BLOCK_N) * BLOCK_N
+
+
 @dataclasses.dataclass
 class DstBlockLayout:
     """Host-built, topology-static scatter layout (numpy arrays).
@@ -150,23 +154,31 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, tile_e: int = 128,
                            with_grad: bool = False,
                            n_message_types: int | None = None,
-                           onehot_stream: bool = True) -> DstBlockLayout:
+                           onehot_stream: bool = True,
+                           n_src_rows: int | None = None) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
 
     ``with_grad=True`` additionally builds the transposed layout (grouped
     by the type·N+src gather row, gathering from dst) so the backward
-    pass's typed scatter uses the one-hot kernel too."""
+    pass's typed scatter uses the one-hot kernel too.
+
+    ``n_src_rows`` decouples the source index space from the destination
+    space (sharded halo aggregation: sources live in the [P·H]-row halo
+    receive buffer while destinations are the shard's n_local rows);
+    defaults to ``n_nodes_pad``."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
+    if n_src_rows is None:
+        n_src_rows = n_nodes_pad
     real = np.asarray(edge_mask) > 0
     src = np.asarray(edge_src)[real].astype(np.int64)
     dst = np.asarray(edge_dst)[real].astype(np.int64)
     typ = np.asarray(edge_type)[real].astype(np.int64)
     # primary: destination block (the scatter grouping); secondary: gather
-    # row (type·N + src) so the XLA gather sees near-sequential rows —
+    # row (type·N_src + src) so the XLA gather sees near-sequential rows —
     # within a block the one-hot scatter is order-invariant
-    grow = typ * n_nodes_pad + src
+    grow = typ * n_src_rows + src
     order = np.lexsort((grow, dst // BLOCK_N))
     src, dst, typ = src[order], dst[order], typ[order]
 
@@ -190,8 +202,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     np.cumsum(counts, out=block_edge_start[1:])
     rank = np.arange(src.shape[0]) - block_edge_start[block]
     pos = tile_start[block].astype(np.int64) * tile_e + rank
-    n_nodes_total = n_nodes_pad
-    gather_idx[pos] = (typ * n_nodes_total + src).astype(np.int32)
+    gather_idx[pos] = (typ * n_src_rows + src).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
     dst_global[pos] = dst.astype(np.int32)
     block_of_tile = np.repeat(np.arange(n_blocks, dtype=np.int32),
@@ -204,13 +215,15 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     if with_grad:
         if n_message_types is None:
             n_message_types = int(typ.max(initial=0)) + 1
-        # transposed roles: group by gather row (t·N+src), gather from dst
+        # transposed roles: group by gather row (t·N_src+src), gather
+        # from dst (the cotangent array has n_nodes_pad rows)
         grad = build_dst_block_layout(
-            edge_src=dst, edge_dst=typ * n_nodes_pad + src,
+            edge_src=dst, edge_dst=typ * n_src_rows + src,
             edge_type=np.zeros_like(typ),
             edge_mask=np.ones(dst.shape[0], np.float32),
-            n_nodes_pad=n_message_types * n_nodes_pad,
-            tile_e=tile_e, with_grad=False, onehot_stream=onehot_stream)
+            n_nodes_pad=_rup_block(n_message_types * n_src_rows),
+            tile_e=tile_e, with_grad=False, onehot_stream=onehot_stream,
+            n_src_rows=n_nodes_pad)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,

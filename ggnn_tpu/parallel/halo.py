@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ggnn_tpu.models.config import ModelConfig
@@ -37,18 +38,35 @@ from ggnn_tpu.parallel.partition import PartitionedBatch
 
 def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                       parts: PartitionedBatch, strategy: str = "halo",
-                      axis_name: str = "graph"):
+                      axis_name: str = "graph", scatter_tile_e: int = 512,
+                      interpret: bool | None = None):
     """Run T sharded propagation steps; returns h sharded as [n_pad, D].
 
     ``parts`` arrays cross into shard_map with their leading [P] axis
-    mapped onto the mesh's graph axis."""
-    if strategy not in ("halo", "all_gather"):
+    mapped onto the mesh's graph axis.  Strategies:
+
+    - ``all_gather`` / ``halo``: XLA typed aggregation per shard.
+    - ``halo_onehot``: halo all-to-all + per-shard one-hot MXU scatter
+      kernels (ops/scatter_pallas.py) — the production large-graph path;
+      needs ``n_local % 128 == 0``."""
+    if strategy not in ("halo", "all_gather", "halo_onehot"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
     n_local = parts.n_local
     H = parts.halo_size
 
-    def body(prop, ann, src_g, src_h, dst_l, etype, emask, send_idx):
+    lay_arrays, lay_meta = (None, None)
+    if strategy == "halo_onehot":
+        from ggnn_tpu.ops.scatter_pallas import (
+            onehot_segment_scatter_flat)
+        from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
+        lay_arrays, lay_meta = build_halo_scatter_layouts(
+            parts, tile_e=scatter_tile_e)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+    def body(prop, ann, src_g, src_h, dst_l, etype, emask, send_idx,
+             gidx, onehot, tstart, btile):
         # shapes inside: ann [1, n_local, A], edges [1, E_l],
         # send_idx [1, P, H] (this shard's owner-row of the send plan)
         ann = ann[0]
@@ -57,24 +75,42 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         send_idx = send_idx[0]
         fused = fuse_gru(prop["gru"])
         h0 = init_state(ann, cfg.state_dim)
+        cdt = jnp.dtype(cfg.compute_dtype)
+
+        def exchange(h_local):
+            send = h_local[send_idx.reshape(-1)].reshape(
+                send_idx.shape[0], H, -1)                     # [P, H, D]
+            recv = jax.lax.all_to_all(
+                send, axis_name, split_axis=0, concat_axis=0,
+                tiled=False)                                  # [P, H, D]
+            return recv.reshape(-1, h_local.shape[-1])        # [P·H, D]
 
         def step(h_local, _):
             if strategy == "all_gather":
                 h_src_pool = jax.lax.all_gather(
-                    h_local, axis_name, tiled=True)          # [N, D]
+                    h_local, axis_name, tiled=True)           # [N, D]
                 src_idx = src_g
             else:
-                send = h_local[send_idx.reshape(-1)].reshape(
-                    send_idx.shape[0], H, -1)                 # [P, H, D]
-                recv = jax.lax.all_to_all(
-                    send, axis_name, split_axis=0, concat_axis=0,
-                    tiled=False)                              # [P, H, D]
-                h_src_pool = recv.reshape(-1, h_local.shape[-1])  # [P·H, D]
+                h_src_pool = exchange(h_local)
                 src_idx = src_h
-            a = typed_aggregate(
-                h_src_pool, src_idx, dst_l, etype, emask,
-                prop["msg_w"], prop["msg_b"],
-                strategy=cfg.agg_strategy)[:n_local]
+            if strategy == "halo_onehot":
+                table = jnp.einsum(
+                    "nd,tdf->tnf", h_src_pool.astype(cdt),
+                    prop["msg_w"].astype(cdt),
+                    preferred_element_type=jnp.float32) \
+                    + prop["msg_b"][:, None, :]
+                msgs = table.reshape(-1, h_local.shape[-1]).astype(
+                    cdt)[gidx[0]]
+                a = onehot_segment_scatter_flat(
+                    msgs, onehot[0], tstart[0], btile[0],
+                    n_blocks=lay_meta["n_blocks"],
+                    tile_e=lay_meta["tile_e"],
+                    interpret=interpret)[:n_local]
+            else:
+                a = typed_aggregate(
+                    h_src_pool, src_idx, dst_l, etype, emask,
+                    prop["msg_w"], prop["msg_b"],
+                    strategy=cfg.agg_strategy)[:n_local]
             h_new = gru_update(prop["gru"], h_local, a, fused)
             return h_new, None
 
@@ -86,11 +122,20 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         mesh=mesh,
         in_specs=(P(),                     # prop params replicated
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name), P(axis_name)),
+                  P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
         check_vma=False,
     )
+    if lay_arrays is None:
+        z = np.zeros((parts.n_shards, 1), np.int32)
+        gidx = oh = ts = bt = z
+    else:
+        gidx = lay_arrays["gather_idx"]
+        oh = lay_arrays["onehot"]
+        ts = lay_arrays["tile_start"]
+        bt = lay_arrays["block_of_tile"]
     h = shard(prop, parts.annotations, parts.edge_src_global,
               parts.edge_src_halo, parts.edge_dst_local, parts.edge_type,
-              parts.edge_mask, parts.halo_send_idx)
+              parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt)
     return h.reshape(-1, cfg.state_dim)

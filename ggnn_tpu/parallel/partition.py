@@ -155,3 +155,50 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         edge_dst_local=edge_dst_local, edge_type=edge_type,
         edge_mask=edge_mask, type_offsets=type_offsets,
         halo_send_idx=halo_send_idx)
+
+
+def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
+    """Per-shard one-hot scatter layouts for the 'halo_onehot' strategy
+    (ops/scatter_pallas.py), stacked with a common static shape so they
+    cross into shard_map on the 'graph' axis.
+
+    Sources are halo coordinates (``owner·H + rank`` into the [P·H, D]
+    all-to-all receive buffer), destinations are the shard's n_local rows
+    (must be a multiple of 128).  Padding tiles carry all-zero one-hot
+    columns and point at the last block AFTER its real tiles, so they
+    accumulate nothing and never re-trigger the first-tile zero-init.
+
+    Returns (stacked_arrays: dict of [P, ...] numpy arrays, meta: dict of
+    static ints)."""
+    from ggnn_tpu.ops.scatter_pallas import BLOCK_N, build_dst_block_layout
+
+    P, n_local, H = parts.n_shards, parts.n_local, parts.halo_size
+    if n_local % BLOCK_N:
+        raise ValueError(
+            f"halo_onehot needs n_local % {BLOCK_N} == 0, got {n_local}")
+    lays = [
+        build_dst_block_layout(
+            parts.edge_src_halo[s], parts.edge_dst_local[s],
+            parts.edge_type[s], parts.edge_mask[s], n_local,
+            tile_e=tile_e, n_src_rows=P * H, onehot_stream=True)
+        for s in range(P)
+    ]
+    n_tiles = max(l.block_of_tile.shape[0] for l in lays)
+    e_pack = n_tiles * tile_e
+    n_blocks = n_local // BLOCK_N
+
+    gather_idx = np.zeros((P, e_pack), np.int32)
+    onehot = np.zeros((P, e_pack, BLOCK_N), np.int8)
+    tile_start = np.zeros((P, n_blocks + 1), np.int32)
+    block_of_tile = np.full((P, n_tiles), n_blocks - 1, np.int32)
+    for s, l in enumerate(lays):
+        e = l.gather_idx.shape[0]
+        gather_idx[s, :e] = l.gather_idx
+        onehot[s, :e] = l.onehot
+        tile_start[s] = l.tile_start
+        block_of_tile[s, :l.block_of_tile.shape[0]] = l.block_of_tile
+    arrays = {"gather_idx": gather_idx, "onehot": onehot,
+              "tile_start": tile_start, "block_of_tile": block_of_tile}
+    meta = {"tile_e": tile_e, "n_blocks": n_blocks, "n_tiles": n_tiles,
+            "halo_rows": P * H}
+    return arrays, meta
