@@ -27,8 +27,8 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--strategy", type=str, default="halo",
-                    choices=["halo", "all_gather"])
+    ap.add_argument("--strategy", type=str, default="halo_onehot",
+                    choices=["halo", "all_gather", "halo_onehot"])
     ap.add_argument("--shards", type=int, nargs="*", default=None,
                     help="shard counts to test (default: 1..device_count)")
     ap.add_argument("--force_cpu_devices", type=int, default=0)
@@ -54,7 +54,7 @@ def main() -> int:
                                    if p <= n_dev]
     batch = synthetic_batch(args.nodes, args.edges, args.types,
                             annotation_dim=8, seed=0,
-                            node_mult=max(128, max(shard_counts) * 8))
+                            node_mult=128 * max(shard_counts))
     n_dir = int(batch.edge_mask.sum())
     cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                       n_edge_types=args.types, n_steps=args.steps)
