@@ -209,8 +209,14 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                               tiles.astype(np.int64))
     onehot = None
     if onehot_stream:
-        onehot = np.zeros((gather_idx.shape[0], BLOCK_N), np.int8)
-        onehot[pos, dst_local[pos]] = 1
+        # stored TRANSPOSED per tile — [n_tiles·BLOCK_N, tile_e] — so the
+        # kernel contracts lhs dim 1 (MXU-native; contracting dim 0 forces
+        # a per-tile transpose relayout)
+        n_total_tiles = gather_idx.shape[0] // tile_e
+        onehot = np.zeros((n_total_tiles * BLOCK_N, tile_e), np.int8)
+        tile_of = pos // tile_e
+        col = pos % tile_e
+        onehot[tile_of * BLOCK_N + dst_local[pos], col] = 1
     grad = None
     if with_grad:
         if n_message_types is None:
@@ -287,7 +293,7 @@ def onehot_segment_scatter(messages, dst_local, tile_start, n_blocks: int,
 
 def _scatter_stream_kernel(tile_start_ref, msg_ref, oh_ref, out_ref):
     """Two-stream tile: out += onehotᵀ·msg — one MXU dot_general, no dst
-    ids, no VPU one-hot build."""
+    ids, no VPU one-hot build (one-hot stored pre-transposed)."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     count = tile_start_ref[b + 1] - tile_start_ref[b]
@@ -298,9 +304,9 @@ def _scatter_stream_kernel(tile_start_ref, msg_ref, oh_ref, out_ref):
 
     @pl.when(j < count)
     def _():
-        oh = oh_ref[...].astype(msg_ref.dtype)               # [tile_e, 128]
+        oh = oh_ref[...].astype(msg_ref.dtype)               # [128, tile_e]
         out_ref[...] += jax.lax.dot_general(
-            oh, msg_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            oh, msg_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
@@ -325,7 +331,7 @@ def onehot_segment_scatter_stream(messages, onehot_i8, tile_start,
         grid=(n_blocks, max_tiles),
         in_specs=[
             pl.BlockSpec((tile_e, D), tile_index),
-            pl.BlockSpec((tile_e, BLOCK_N), tile_index),
+            pl.BlockSpec((BLOCK_N, tile_e), tile_index),
         ],
         out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, j, ts: (b, 0)),
     )
@@ -356,9 +362,9 @@ def _scatter_stream_flat_kernel(block_of_tile_ref, tile_start_ref, msg_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    oh = oh_ref[...].astype(msg_ref.dtype)
+    oh = oh_ref[...].astype(msg_ref.dtype)                   # [128, tile_e]
     out_ref[...] += jax.lax.dot_general(
-        oh, msg_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        oh, msg_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -379,7 +385,7 @@ def onehot_segment_scatter_flat(messages, onehot_i8, tile_start,
         grid=(n_total_tiles,),
         in_specs=[
             pl.BlockSpec((tile_e, D), lambda i, bt, ts: (i, 0)),
-            pl.BlockSpec((tile_e, BLOCK_N), lambda i, bt, ts: (i, 0)),
+            pl.BlockSpec((BLOCK_N, tile_e), lambda i, bt, ts: (i, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK_N, D), lambda i, bt, ts: (bt[i], 0)),
     )

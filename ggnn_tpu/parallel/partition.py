@@ -188,13 +188,13 @@ def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
     n_blocks = n_local // BLOCK_N
 
     gather_idx = np.zeros((P, e_pack), np.int32)
-    onehot = np.zeros((P, e_pack, BLOCK_N), np.int8)
+    onehot = np.zeros((P, n_tiles * BLOCK_N, tile_e), np.int8)
     tile_start = np.zeros((P, n_blocks + 1), np.int32)
     block_of_tile = np.full((P, n_tiles), n_blocks - 1, np.int32)
     for s, l in enumerate(lays):
         e = l.gather_idx.shape[0]
         gather_idx[s, :e] = l.gather_idx
-        onehot[s, :e] = l.onehot
+        onehot[s, :l.onehot.shape[0]] = l.onehot
         tile_start[s] = l.tile_start
         block_of_tile[s, :l.block_of_tile.shape[0]] = l.block_of_tile
     arrays = {"gather_idx": gather_idx, "onehot": onehot,
