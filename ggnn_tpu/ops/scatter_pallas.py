@@ -404,6 +404,94 @@ def onehot_segment_scatter_flat(messages, onehot_i8, tile_start,
     )(block_of_tile, tile_start, messages, onehot_i8)
 
 
+def _scatter_loopT_kernel(tile_start_ref, msg_hbm, oh_hbm, out_ref,
+                          msg_buf, oh_buf, msg_sem, oh_sem, *, tile_e):
+    """One program per dst block; inner double-buffered DMA loop over the
+    block's (message, transposed-one-hot) tile pairs.  Both stream slices
+    are 8-sublane aligned (msg: tile_e rows; one-hot: 128 rows), so this
+    compiles where the dst-id variant could not, and the fixed ~3-7 µs
+    per-grid-program cost is amortized across a whole block."""
+    b = pl.program_id(0)
+    start = tile_start_ref[b]
+    count = tile_start_ref[b + 1] - start
+    out_ref[...] = jnp.zeros_like(out_ref)
+    NBUF = 2
+
+    def make_dmas(slot, k):
+        m = pltpu.make_async_copy(
+            msg_hbm.at[pl.ds((start + k) * tile_e, tile_e), :],
+            msg_buf.at[slot], msg_sem.at[slot])
+        o = pltpu.make_async_copy(
+            oh_hbm.at[pl.ds((start + k) * BLOCK_N, BLOCK_N), :],
+            oh_buf.at[slot], oh_sem.at[slot])
+        return m, o
+
+    @pl.when(count > 0)
+    def _():
+        m, o = make_dmas(0, 0)
+        m.start()
+        o.start()
+
+    def body(k, _):
+        slot = k % NBUF
+        nxt = (k + 1) % NBUF
+
+        @pl.when(k + 1 < count)
+        def _():
+            m, o = make_dmas(nxt, k + 1)
+            m.start()
+            o.start()
+
+        m, o = make_dmas(slot, k)
+        m.wait()
+        o.wait()
+        oh = oh_buf[slot].astype(msg_buf.dtype)              # [128, tile_e]
+        out_ref[...] += jax.lax.dot_general(
+            oh, msg_buf[slot], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, count, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "tile_e", "interpret"))
+def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
+                                 n_blocks: int, tile_e: int = 2048,
+                                 interpret: bool = False):
+    """Looped-DMA variant of the transposed-one-hot stream scatter."""
+    D = messages.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, ts: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_e, D), messages.dtype),
+            pltpu.VMEM((2, BLOCK_N, tile_e), onehot_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_scatter_loopT_kernel, tile_e=tile_e)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * messages.shape[0] * BLOCK_N * D,
+            bytes_accessed=messages.shape[0] * (D * messages.dtype.itemsize
+                                                + BLOCK_N)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(tile_start, messages, onehot_t)
+
+
 def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
                          msg_buf, dst_buf, msg_sem, dst_sem, *, tile_e):
     """One program per dst block: inner fori_loop over the block's edge
