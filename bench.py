@@ -74,7 +74,7 @@ def main() -> int:
             # payload (HTTP 413 on remote compile)
             layout = build_dst_block_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
-                batch.edge_mask, batch.spec.n_pad, tile_e=512,
+                batch.edge_mask, batch.spec.n_pad, tile_e=2048,
                 with_grad=(args.mode == "train"),
                 n_message_types=2 * args.types).to_device()
 
