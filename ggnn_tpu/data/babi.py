@@ -18,11 +18,11 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 
-from ggnn_tpu.graph import GraphBatch, PaddingSpec, batch_graphs
+from ggnn_tpu.graph import PaddingSpec
 
 END_TOKEN_NAME = "<end>"
 

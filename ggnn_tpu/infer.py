@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ggnn_tpu.data.babi import TASKS, examples_to_graphs
+from ggnn_tpu.data.babi import TASKS
 from ggnn_tpu.graph import PaddingSpec, batch_graphs
 from ggnn_tpu.models import ModelConfig, forward, init_params
 from ggnn_tpu.train.checkpoint import load_checkpoint

@@ -7,7 +7,6 @@ executed over the static-shape batches of :class:`~ggnn_tpu.data.BatchLoader`.""
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 import time

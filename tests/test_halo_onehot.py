@@ -2,7 +2,6 @@
 shard_map, parity vs single-device propagation (128-multiple shard size)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ggnn_tpu.graph import PaddingSpec, batch_graphs
