@@ -222,13 +222,21 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         if n_message_types is None:
             n_message_types = int(typ.max(initial=0)) + 1
         # transposed roles: group by gather row (t·N_src+src), gather
-        # from dst (the cotangent array has n_nodes_pad rows)
+        # from dst (the cotangent array has n_nodes_pad rows).  The grad
+        # grouping has T2× more blocks than the forward one, so pick its
+        # tile size from its own average block occupancy — inheriting the
+        # forward tile would pad the stream by up to T2×.
+        n_rows_grad = _rup_block(n_message_types * n_src_rows)
+        avg = max(1, src.shape[0] * BLOCK_N // max(n_rows_grad, 1))
+        g_tile = 128
+        while g_tile < min(avg, tile_e):
+            g_tile *= 2
         grad = build_dst_block_layout(
             edge_src=dst, edge_dst=typ * n_src_rows + src,
             edge_type=np.zeros_like(typ),
             edge_mask=np.ones(dst.shape[0], np.float32),
-            n_nodes_pad=_rup_block(n_message_types * n_src_rows),
-            tile_e=tile_e, with_grad=False, onehot_stream=onehot_stream,
+            n_nodes_pad=n_rows_grad,
+            tile_e=g_tile, with_grad=False, onehot_stream=onehot_stream,
             n_src_rows=n_nodes_pad)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
