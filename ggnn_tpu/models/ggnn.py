@@ -130,6 +130,10 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             h_new = gru_update(prop["gru"], h, a, fused)
             return h_new, h_new if collect_states else None
 
+    if cfg.remat and not collect_states:
+        # trade FLOPs for memory: the backward pass recomputes each step's
+        # aggregation instead of keeping T× node-state activations
+        step = jax.checkpoint(step)
     h_final, states = jax.lax.scan(step, h, None, length=cfg.n_steps)
     if collect_states:
         return h_final, states
