@@ -86,6 +86,13 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
                                                  build_dst_block_layout)
         if scatter_layout is None:
+            if isinstance(edge_src, jax.core.Tracer):
+                raise ValueError(
+                    "backend='onehot' inside jit needs a precomputed layout: "
+                    "build_dst_block_layout(...).to_device() outside jit and "
+                    "pass it through the jitted function's arguments as "
+                    "scatter_layout (closure constants overflow remote "
+                    "compile payloads)")
             scatter_layout = build_dst_block_layout(
                 np.asarray(edge_src), np.asarray(edge_dst),
                 np.asarray(edge_type), np.asarray(edge_mask), h.shape[0])
