@@ -42,6 +42,9 @@ def build_args():
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "train"],
                     help="fwd: propagation only; train: full fwd+bwd+Adam")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="split onehot scatter into N dst-range chunks "
+                         "(memory-bound configs, e.g. 1M nodes)")
     ap.add_argument("--profile", type=str, default=None,
                     help="dump a profiler trace to this directory")
     return ap.parse_args()
@@ -68,15 +71,22 @@ def main() -> int:
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "onehot":
-            from ggnn_tpu.ops.scatter_pallas import build_dst_block_layout
+            from ggnn_tpu.ops.scatter_pallas import (
+                build_chunked_dst_layouts, build_dst_block_layout)
             # device layout passes through jit ARGUMENTS — a closure
             # constant would bake the one-hot stream into the compile
             # payload (HTTP 413 on remote compile)
-            layout = build_dst_block_layout(
-                batch.edge_src, batch.edge_dst, batch.edge_type,
-                batch.edge_mask, batch.spec.n_pad, tile_e=2048,
-                with_grad=(args.mode == "train"),
-                n_message_types=2 * args.types).to_device()
+            if args.chunks > 1:
+                layout = build_chunked_dst_layouts(
+                    batch.edge_src, batch.edge_dst, batch.edge_type,
+                    batch.edge_mask, batch.spec.n_pad,
+                    n_chunks=args.chunks, tile_e=2048)
+            else:
+                layout = build_dst_block_layout(
+                    batch.edge_src, batch.edge_dst, batch.edge_type,
+                    batch.edge_mask, batch.spec.n_pad, tile_e=2048,
+                    with_grad=(args.mode == "train"),
+                    n_message_types=2 * args.types).to_device()
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),

@@ -82,9 +82,23 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
 
     if cfg.backend == "onehot":
         # MXU one-hot scatter path (ops/scatter_pallas.py): needs the
-        # host-built dst-block layout (topology-static, reused every step)
+        # host-built dst-block layout (topology-static, reused every step).
+        # A list/tuple of chunk layouts selects the memory-bounded chunked
+        # path (build_chunked_dst_layouts).
         from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                                 aggregate_onehot_chunked,
                                                  build_dst_block_layout)
+        if isinstance(scatter_layout, (list, tuple)):
+            chunks = list(scatter_layout)
+
+            def step(h, _):
+                a = aggregate_onehot_chunked(h.astype(cdt), chunks, msg_w_c,
+                                             msg_b_c)
+                h_new = gru_update(prop["gru"], h, a, fused)
+                return h_new, h_new if collect_states else None
+
+            h_final, states = jax.lax.scan(step, h, None, length=cfg.n_steps)
+            return (h_final, states) if collect_states else h_final
         if scatter_layout is None:
             if isinstance(edge_src, jax.core.Tracer):
                 raise ValueError(

@@ -595,6 +595,64 @@ def onehot_segment_scatter_looped(messages, dst_local, tile_start,
     )(tile_start, messages, dst_local.reshape(-1, tile_e))
 
 
+def build_chunked_dst_layouts(edge_src, edge_dst, edge_type, edge_mask,
+                              n_nodes_pad: int, n_chunks: int,
+                              tile_e: int = 2048,
+                              onehot_stream: bool = True) -> list:
+    """Split the scatter layout into ``n_chunks`` contiguous dst-block
+    ranges so the per-edge message buffer materializes one chunk at a time
+    (peak memory / n_chunks) — how the 1M-node BASELINE config fits a
+    single chip.  gather rows stay GLOBAL (t·N+src into the full table);
+    only destinations are chunk-local."""
+    if n_nodes_pad % (BLOCK_N * n_chunks):
+        raise ValueError("n_nodes_pad must divide into n_chunks×128 blocks")
+    rows_per_chunk = n_nodes_pad // n_chunks
+    real = np.asarray(edge_mask) > 0
+    src = np.asarray(edge_src)[real]
+    dst = np.asarray(edge_dst)[real]
+    typ = np.asarray(edge_type)[real]
+    chunk_of = dst // rows_per_chunk
+    layouts = []
+    for c in range(n_chunks):
+        sel = chunk_of == c
+        layouts.append(build_dst_block_layout(
+            src[sel], dst[sel] - c * rows_per_chunk, typ[sel],
+            np.ones(int(sel.sum()), np.float32), rows_per_chunk,
+            tile_e=tile_e, onehot_stream=onehot_stream,
+            n_src_rows=n_nodes_pad).to_device())
+    return layouts
+
+
+def aggregate_onehot_chunked(h, chunk_layouts: list, msg_w, msg_b,
+                             interpret: bool | None = None):
+    """Chunked forward aggregation over contiguous dst ranges (see
+    :func:`build_chunked_dst_layouts`).  Forward-only (large-scale training
+    shards across chips instead)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, D = h.shape
+    transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
+                             preferred_element_type=jnp.float32) \
+        + msg_b[:, None, :]
+    table = transformed.reshape(-1, D).astype(h.dtype)
+    outs = []
+    for lay in chunk_layouts:
+        arrs = lay.arrays
+        msgs = table[arrs["gather_idx"]]
+        if lay.has_onehot:
+            out = onehot_segment_scatter_flat(
+                msgs, arrs["onehot"], arrs["tile_start"],
+                arrs["block_of_tile"], n_blocks=lay.n_blocks,
+                tile_e=lay.tile_e, interpret=interpret)
+        else:
+            out = onehot_segment_scatter(
+                msgs, arrs["dst_local"], arrs["tile_start"],
+                n_blocks=lay.n_blocks, max_tiles=lay.max_tiles,
+                tile_e=lay.tile_e, interpret=interpret)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=0)[:N]
+
+
 def aggregate_onehot(h, layout, msg_w, msg_b, interpret: bool | None = None):
     """Full typed aggregation via node-side transforms + one-hot scatter.
 
