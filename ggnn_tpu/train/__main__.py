@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", type=str, choices=["xla", "pallas"])
     ap.add_argument("--state_dim", type=int, dest="model_state_dim")
     ap.add_argument("--n_steps", type=int, dest="model_n_steps")
+    ap.add_argument("--graph_dim", type=int, dest="model_graph_dim",
+                    help="gated-readout width (graph-level heads)")
+    ap.add_argument("--hidden_dim", type=int, dest="model_hidden_dim",
+                    help="head MLP hidden width")
     ap.add_argument("--metrics", type=str, dest="metrics_path")
     ap.add_argument("--checkpoint_dir", type=str)
     ap.add_argument("--restore", type=str, help="checkpoint to resume from")
