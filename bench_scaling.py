@@ -64,18 +64,27 @@ def main() -> int:
     for P in shard_counts:
         mesh = make_mesh(n_graph=P, n_data=1)
         parts = partition_batch(batch, P)
+        lay = None
+        if args.strategy == "halo_onehot":
+            from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
+            lay = build_halo_scatter_layouts(parts, tile_e=512)
+        lay_meta = lay[1] if lay else None
 
+        # parts/layout arrays flow through jit ARGUMENTS (closure constants
+        # overflow the remote-compile payload)
         @jax.jit
-        def run(prop):
-            h = sharded_propagate(prop, cfg, mesh, parts,
-                                  strategy=args.strategy)
+        def run(prop, parts, lay_arrays):
+            h = sharded_propagate(
+                prop, cfg, mesh, parts, strategy=args.strategy,
+                halo_layouts=(lay_arrays, lay_meta) if lay_arrays else None)
             return jnp.sum(h)
 
-        float(run(params["prop"]))
+        lay_arrays = lay[0] if lay else None
+        float(run(params["prop"], parts, lay_arrays))
         best = float("inf")
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            float(run(params["prop"]))
+            float(run(params["prop"], parts, lay_arrays))
             best = min(best, time.perf_counter() - t0)
         eps = n_dir * args.steps / best
         results[P] = {"edges_per_sec": round(eps, 1),

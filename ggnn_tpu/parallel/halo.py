@@ -39,7 +39,7 @@ from ggnn_tpu.parallel.partition import PartitionedBatch
 def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                       parts: PartitionedBatch, strategy: str = "halo",
                       axis_name: str = "graph", scatter_tile_e: int = 512,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, halo_layouts=None):
     """Run T sharded propagation steps; returns h sharded as [n_pad, D].
 
     ``parts`` arrays cross into shard_map with their leading [P] axis
@@ -55,13 +55,18 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     n_local = parts.n_local
     H = parts.halo_size
 
-    lay_arrays, lay_meta = (None, None)
+    lay_arrays, lay_meta = halo_layouts if halo_layouts else (None, None)
     if strategy == "halo_onehot":
         from ggnn_tpu.ops.scatter_pallas import (
             onehot_segment_scatter_flat)
-        from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
-        lay_arrays, lay_meta = build_halo_scatter_layouts(
-            parts, tile_e=scatter_tile_e)
+        if lay_arrays is None:
+            # host-side build — only possible outside jit; under jit,
+            # precompute with build_halo_scatter_layouts and pass both the
+            # parts pytree and halo_layouts through the jitted function's
+            # arguments
+            from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
+            lay_arrays, lay_meta = build_halo_scatter_layouts(
+                parts, tile_e=scatter_tile_e)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
 

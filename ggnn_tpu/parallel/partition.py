@@ -53,7 +53,27 @@ class PartitionedBatch:
     def arrays(self) -> dict:
         return {f.name: getattr(self, f.name)
                 for f in dataclasses.fields(self)
-                if isinstance(getattr(self, f.name), np.ndarray)}
+                if not isinstance(getattr(self, f.name), int)}
+
+
+_PB_ARRAY_FIELDS = ("annotations", "node_mask", "node_graph",
+                    "edge_src_global", "edge_src_halo", "edge_dst_local",
+                    "edge_type", "edge_mask", "type_offsets",
+                    "halo_send_idx")
+
+# registered pytree (arrays = leaves, sizes = static aux) so a
+# PartitionedBatch can pass through jit ARGUMENTS — closure-captured
+# partition arrays become HLO constants and overflow remote-compile
+# payloads (see ops/scatter_pallas.DeviceScatterLayout)
+import jax as _jax  # noqa: E402
+
+_jax.tree_util.register_pytree_node(
+    PartitionedBatch,
+    lambda p: (tuple(getattr(p, f) for f in _PB_ARRAY_FIELDS),
+               (p.n_shards, p.n_local, p.halo_size)),
+    lambda aux, children: PartitionedBatch(
+        n_shards=aux[0], n_local=aux[1], halo_size=aux[2],
+        **dict(zip(_PB_ARRAY_FIELDS, children))))
 
 
 def partition_batch(batch: GraphBatch, n_shards: int,
