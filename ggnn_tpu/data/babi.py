@@ -154,6 +154,29 @@ def example_targets(ex: Example, spec: TaskSpec) -> dict[str, np.ndarray]:
     return {"seq": seq}
 
 
+def _step_map(ex: Example, spec: TaskSpec) -> dict:
+    """(node, direction) → next node; edge (u,d,v) reads "v is d-of u" and
+    walking opposite(d) from v lands back on u."""
+    step_to = {}
+    for (u, t, v) in ex.edges:
+        step_to[(int(u), int(t))] = int(v)
+        if spec.dir_opposite:
+            step_to.setdefault((int(v), spec.dir_opposite[int(t)]), int(u))
+    return step_to
+
+
+def path_nodes(ex: Example, spec: TaskSpec) -> np.ndarray:
+    """Nodes visited after each direction token (the node-selection GGS-NN
+    output targets: round k selects the k-th path node)."""
+    step_to = _step_map(ex, spec)
+    pos = ex.args[0]
+    out = []
+    for tok in np.asarray(ex.target).ravel():
+        pos = step_to.get((pos, int(tok)), pos)
+        out.append(pos)
+    return np.asarray(out, np.int32)
+
+
 def ggsnn_annotation_targets(ex: Example, spec: TaskSpec) -> np.ndarray:
     """Per-round annotation targets for GGS-NN-opt supervision (paper §4:
     supervise the intermediate node annotations so the model learns to walk
@@ -166,13 +189,7 @@ def ggsnn_annotation_targets(ex: Example, spec: TaskSpec) -> np.ndarray:
     end are masked in the loss (via the -1-padded seq target)."""
     K, A = spec.max_seq_len, spec.annotation_dim
     out = np.zeros((ex.n_nodes, K, A), np.float32)
-    # edge (u, d, v) reads "v is d-of u": walking d from u lands on v, and
-    # walking opposite(d) from v lands on u
-    step_to = {}
-    for (u, t, v) in ex.edges:
-        step_to[(int(u), int(t))] = int(v)
-        if spec.dir_opposite:
-            step_to.setdefault((int(v), spec.dir_opposite[int(t)]), int(u))
+    step_to = _step_map(ex, spec)
     pos, dst = ex.args[0], ex.args[1]
     toks = [int(x) for x in np.asarray(ex.target).ravel()]
     for k in range(K):
@@ -195,6 +212,7 @@ def examples_to_graphs(examples: list[Example], spec: TaskSpec) -> list[dict]:
         )
         if spec.target_kind == "seq":
             g["node_targets"] = {"ann_seq": ggsnn_annotation_targets(ex, spec)}
+            g["targets"]["seq_nodes"] = path_nodes(ex, spec)
         out.append(g)
     return out
 
@@ -238,5 +256,6 @@ class BabiDataset:
 
     def target_pads(self) -> dict[str, tuple]:
         if self.spec.target_kind == "seq":
-            return {"seq": ((self.spec.max_seq_len,), -1)}
+            return {"seq": ((self.spec.max_seq_len,), -1),
+                    "seq_nodes": ((self.spec.max_seq_len,), -1)}
         return {}

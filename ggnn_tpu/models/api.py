@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from ggnn_tpu.models.config import ModelConfig
 from ggnn_tpu.models.ggnn import propagate
 from ggnn_tpu.models import heads as H
-from ggnn_tpu.models.ggsnn import ggsnn_forward, ggsnn_loss
+from ggnn_tpu.models.ggsnn import ggsnn_forward, ggsnn_loss, ggsnn_node_loss
 
 
 def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int):
@@ -47,12 +47,21 @@ def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
             params, cfg, arrays["annotations"], arrays["node_graph"],
             arrays["node_mask"], *e, n_graphs=n_graphs)
         use_sup = cfg.ann_supervision and "ann_seq" in tgts
-        loss, correct, mask = ggsnn_loss(
-            logits, tgts["seq"], arrays["n_nodes"],
-            anns=anns if use_sup else None,
-            ann_targets=tgts.get("ann_seq") if use_sup else None,
-            node_graph=arrays["node_graph"], node_mask=arrays["node_mask"],
-            ann_weight=cfg.ann_loss_weight)
+        if cfg.ggsnn_output == "node":
+            loss, correct, mask = ggsnn_node_loss(
+                logits, tgts["seq_nodes"], arrays["node_graph"],
+                arrays["node_mask"], arrays["n_nodes"], n_graphs,
+                anns=anns if use_sup else None,
+                ann_targets=tgts.get("ann_seq") if use_sup else None,
+                ann_weight=cfg.ann_loss_weight)
+        else:
+            loss, correct, mask = ggsnn_loss(
+                logits, tgts["seq"], arrays["n_nodes"],
+                anns=anns if use_sup else None,
+                ann_targets=tgts.get("ann_seq") if use_sup else None,
+                node_graph=arrays["node_graph"],
+                node_mask=arrays["node_mask"],
+                ann_weight=cfg.ann_loss_weight)
         metrics = {"loss_sum": loss * jnp.sum(mask),
                    "correct": jnp.sum(correct.astype(jnp.float32)),
                    "count": jnp.sum(mask)}

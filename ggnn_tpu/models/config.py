@@ -29,6 +29,9 @@ class ModelConfig:
     remat: bool = False           # jax.checkpoint each propagation step:
                                   # backward recomputes aggregation instead
                                   # of storing [T, N, D] activations
+    ggsnn_output: str = "graph"   # GGS-NN F_o: 'graph' (token per round via
+                                  # gated readout) | 'node' (select the next
+                                  # path node per round, paper's alternative)
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas'
     param_dtype: str = "float32"

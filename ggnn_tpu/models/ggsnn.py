@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 from ggnn_tpu.models.config import ModelConfig
 from ggnn_tpu.models.ggnn import propagate
-from ggnn_tpu.models.heads import _mlp2, graph_gated_logits
+from ggnn_tpu.models.heads import (_mlp2, graph_gated_logits, node_offsets,
+                                   node_select_scores)
+from ggnn_tpu.ops.segment import segment_log_softmax
 
 
 def annotation_update(ann: dict, h, annotations) -> jax.Array:
@@ -27,14 +29,20 @@ def annotation_update(ann: dict, h, annotations) -> jax.Array:
 def ggsnn_forward(params: dict, cfg: ModelConfig, annotations, node_graph,
                   node_mask, edge_src, edge_dst, edge_type, edge_mask,
                   n_graphs: int):
-    """Returns per-round graph logits [K, B, V] and final annotations."""
+    """Per-round outputs and annotations: with ``cfg.ggsnn_output='graph'``
+    (default) the outputs are token logits [K, B, V]; with ``'node'`` the
+    paper's node-selection alternative emits per-node scores [K, N] (the
+    round's output is the selected next path node)."""
 
     def round_fn(X, round_params):
         out_p, ann_p = round_params
         h = propagate(params["prop"], cfg, X, edge_src, edge_dst, edge_type,
                       edge_mask)
-        logits = graph_gated_logits(out_p, h, X, node_graph,
-                                    node_mask, n_graphs)
+        if cfg.ggsnn_output == "node":
+            logits = node_select_scores(out_p, h, X)          # [N]
+        else:
+            logits = graph_gated_logits(out_p, h, X, node_graph,
+                                        node_mask, n_graphs)
         X_next = annotation_update(ann_p, h, X) * node_mask[:, None]
         return X_next, (logits, X_next)
 
@@ -76,4 +84,56 @@ def ggsnn_loss(logits, targets, n_nodes, anns=None, ann_targets=None,
     step_correct = (jnp.argmax(logits, axis=-1) == tgt) | ~valid
     seq_correct = jnp.all(step_correct, axis=0) & (n_nodes > 0)
     graph_mask = (n_nodes > 0).astype(logits.dtype)
+    return loss, seq_correct, graph_mask
+
+
+def _ann_bce(anns, ann_targets, valid, node_graph, node_mask, B):
+    """GGS-NN-opt annotation BCE, masked to valid rounds / real nodes."""
+    t = jnp.transpose(ann_targets, (1, 0, 2))                # [K, N, A]
+    p = jnp.clip(anns, 1e-6, 1.0 - 1e-6)
+    bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    w = valid.astype(p.dtype)[:, node_graph.clip(0, B - 1)] \
+        * node_mask[None, :]
+    return jnp.sum(bce * w[..., None]) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def ggsnn_node_loss(scores, target_nodes, node_graph, node_mask, n_nodes,
+                    n_graphs: int, anns=None, ann_targets=None,
+                    ann_weight: float = 1.0):
+    """Loss for the node-selection GGS-NN output (cfg.ggsnn_output='node'):
+    per round, softmax over each graph's nodes vs the target path node
+    (``target_nodes`` [B, K] LOCAL ids, −1 past the path end); exact-match
+    sequence accuracy over valid rounds."""
+    K, N = scores.shape
+    tgt = target_nodes.T                                     # [K, B] local
+    valid = (tgt >= 0) & (n_nodes[None, :] > 0)
+    offs = node_offsets(n_nodes)
+    tgt_global = offs[None, :] + jnp.maximum(tgt, 0)
+
+    logp = jax.vmap(lambda s: segment_log_softmax(
+        s, node_graph, n_graphs + 1, node_mask))(scores)      # [K, N]
+    nll = -jnp.take_along_axis(logp, tgt_global, axis=1)      # [K, B]
+    nll = jnp.where(valid, nll, 0.0)
+    loss = jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+    if anns is not None and ann_targets is not None:
+        loss = loss + ann_weight * _ann_bce(
+            anns, ann_targets, valid, node_graph, node_mask, n_graphs)
+
+    # per-round segment argmax (first max index)
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(node_mask[None, :] > 0, scores, neg)
+    seg_max = jax.vmap(lambda s: jax.ops.segment_max(
+        s, node_graph, num_segments=n_graphs + 1))(masked)    # [K, B+1]
+    is_max = (masked == jnp.take_along_axis(
+        seg_max, node_graph[None, :].repeat(K, 0), axis=1)) \
+        & (node_mask[None, :] > 0)
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :].repeat(K, 0)
+    big = jnp.asarray(N, jnp.int32)
+    pred = jax.vmap(lambda m, i: jax.ops.segment_min(
+        jnp.where(m, i, big), node_graph,
+        num_segments=n_graphs + 1))(is_max, idx)[:, :n_graphs]  # [K, B]
+    step_correct = (pred == tgt_global) | ~valid
+    seq_correct = jnp.all(step_correct, axis=0) & (n_nodes > 0)
+    graph_mask = (n_nodes > 0).astype(scores.dtype)
     return loss, seq_correct, graph_mask

@@ -84,15 +84,19 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     elif cfg.head == "graph_gated":
         params["head"] = init_gated_head(kh, cfg, cfg.n_classes, dtype)
     elif cfg.head == "ggsnn":
+        def out_head(k):
+            if cfg.ggsnn_output == "node":
+                return init_mlp_head(k, cfg, 1, dtype)
+            return init_gated_head(k, cfg, cfg.n_classes, dtype)
         if cfg.share_round_nets:
-            params["out"] = init_gated_head(kh, cfg, cfg.n_classes, dtype)
+            params["out"] = out_head(kh)
             params["ann"] = init_annotation_net(ka, cfg, dtype)
         else:
             # per-round output/annotation nets F_o^{(k)}, F_x^{(k)}
             # (paper §4 non-shared option): stacked leading-K params
             kout = jax.random.split(kh, cfg.n_rounds)
             kann = jax.random.split(ka, cfg.n_rounds)
-            outs = [init_gated_head(k, cfg, cfg.n_classes, dtype) for k in kout]
+            outs = [out_head(k) for k in kout]
             anns = [init_annotation_net(k, cfg, dtype) for k in kann]
             params["out"] = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
             params["ann"] = jax.tree.map(lambda *xs: jnp.stack(xs), *anns)

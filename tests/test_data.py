@@ -102,8 +102,14 @@ def test_seq_target_padding():
     pspec = PaddingSpec(n_graphs=6, n_pad=6 * max_n, e_pad=6 * max_e * 2,
                         n_edge_types=spec_t.n_edge_types,
                         annotation_dim=spec_t.annotation_dim).round_up()
-    batch = batch_graphs(graphs, pspec, {"seq": ((spec_t.max_seq_len,), -1)})
+    batch = batch_graphs(graphs, pspec,
+                         {"seq": ((spec_t.max_seq_len,), -1),
+                          "seq_nodes": ((spec_t.max_seq_len,), -1)})
     seq = batch.targets["seq"]
+    # node-output targets: path nodes for real rounds, -1 padding
+    sn = batch.targets["seq_nodes"]
+    assert sn.shape == (6, spec_t.max_seq_len)
+    assert ((sn[:, :2] >= 0)).all() and (sn[:, 2] == -1).all()
     assert seq.shape == (6, spec_t.max_seq_len)
     # every sequence: 2 direction tokens + end token (= n_classes-1), then -1 pad
     assert ((seq[:, :2] >= 0) & (seq[:, :2] < spec_t.n_classes - 1)).all()
