@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     ap.add_argument("--n_steps", type=int, dest="model_n_steps")
     ap.add_argument("--graph_dim", type=int, dest="model_graph_dim",
                     help="gated-readout width (graph-level heads)")
+    ap.add_argument("--ggsnn_output", type=str, dest="model_ggsnn_output",
+                    choices=["graph", "node"],
+                    help="GGS-NN output net: token per round or next-node selection")
     ap.add_argument("--hidden_dim", type=int, dest="model_hidden_dim",
                     help="head MLP hidden width")
     ap.add_argument("--metrics", type=str, dest="metrics_path")
