@@ -169,18 +169,24 @@ def annotation_update(ann_net: dict, h: np.ndarray, annotations: np.ndarray) -> 
 
 
 def oracle_ggsnn(params: dict, annotations: np.ndarray, edges,
-                 n_edge_types: int, n_steps: int, n_rounds: int):
+                 n_edge_types: int, n_steps: int, n_rounds: int,
+                 output: str = "graph"):
     """GGS-NN (SURVEY.md §3.4): per round k — propagate T steps from
-    h=pad(X^{(k)}), emit graph-level logits over the step vocab, update
-    annotations.  Propagation/head weights shared across rounds (paper's
-    shared-weights option).  Returns (list of per-round logits,
-    list of per-round final h, list of annotations X^{(k)})."""
+    h=pad(X^{(k)}), emit the round output, update annotations.
+    ``output``: 'graph' (token logits via gated readout) or 'node'
+    (node-selection scores — the paper's alternative F_o).  Propagation/
+    head weights shared across rounds (paper's shared-weights option).
+    Returns (list of per-round outputs, list of per-round final h,
+    list of annotations X^{(k)})."""
     prop, out_head, ann_net = params["prop"], params["out"], params["ann"]
     X = np.asarray(annotations, np.float64)
     logits, hs, anns = [], [], [X]
     for _ in range(n_rounds):
         h = oracle_propagate(prop, X, edges, n_edge_types, n_steps)[-1]
-        logits.append(oracle_graph_gated(out_head, h, X))
+        if output == "node":
+            logits.append(oracle_node_select(out_head, h, X))
+        else:
+            logits.append(oracle_graph_gated(out_head, h, X))
         X = annotation_update(ann_net, h, X)
         hs.append(h)
         anns.append(X)

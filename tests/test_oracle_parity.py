@@ -140,6 +140,32 @@ def test_graph_gated_head_parity(rng):
         np.testing.assert_allclose(logits[gi], ref, rtol=2e-5, atol=2e-6)
 
 
+def test_ggsnn_node_output_parity(rng):
+    """Node-selection F_o variant vs oracle (paper's alternative)."""
+    E, A, K = 4, 2, 3
+    cfg = ModelConfig(state_dim=4, annotation_dim=A, n_edge_types=E,
+                      n_steps=3, head="ggsnn", n_classes=5, n_rounds=K,
+                      ggsnn_output="node")
+    graphs = [rand_graph(rng, n_edge_types=E, annotation_dim=A)
+              for _ in range(3)]
+    spec, batch = make_batch(rng, graphs, E, A)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    scores, _ = ggsnn_forward(
+        params, cfg, batch.annotations, batch.node_graph, batch.node_mask,
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        n_graphs=spec.n_graphs)
+    scores = np.asarray(scores)  # [K, N]
+    p64 = to_f64(params)
+    offs = np.concatenate([[0], np.cumsum(batch.n_nodes)])[:-1]
+    for gi, g in enumerate(graphs):
+        ref_scores, _, _ = oracle_ggsnn(p64, g["annotations"], g["edges"],
+                                        E, cfg.n_steps, K, output="node")
+        for k in range(K):
+            got = scores[k, offs[gi]:offs[gi] + g["n_nodes"]]
+            np.testing.assert_allclose(got, ref_scores[k],
+                                       rtol=3e-5, atol=3e-6)
+
+
 def test_ggsnn_parity(rng):
     E, A, V, K = 4, 2, 5, 3
     cfg = ModelConfig(state_dim=4, annotation_dim=A, n_edge_types=E,
