@@ -85,12 +85,20 @@ class Predictor:
             elif cfg.head == "graph_gated":
                 decoded.append(int(np.argmax(res[gi])))
             elif cfg.head == "ggsnn":
-                toks = []
-                end = cfg.n_classes - 1
-                for k in range(res.shape[0]):
-                    t = int(np.argmax(res[k, gi]))
-                    if t == end:
-                        break
-                    toks.append(t)
-                decoded.append(toks)
+                if cfg.ggsnn_output == "node":
+                    # node-selection variant: the k-th output is the
+                    # selected next path node (local id); no end token —
+                    # sequence length is task-determined (n_rounds)
+                    decoded.append([
+                        int(np.argmax(res[k, offs[gi]:offs[gi] + n]))
+                        for k in range(res.shape[0])])
+                else:
+                    toks = []
+                    end = cfg.n_classes - 1
+                    for k in range(res.shape[0]):
+                        t = int(np.argmax(res[k, gi]))
+                        if t == end:
+                            break
+                        toks.append(t)
+                    decoded.append(toks)
         return decoded
