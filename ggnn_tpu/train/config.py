@@ -75,9 +75,11 @@ CONFIGS: dict[str, Callable[[], TrainConfig]] = {
     "babi19": _babi("babi19", 19, state_dim=16, epochs=400, n_train=250,
                     lr=1e-3),
     # paper Table 2's 50-example setting (GGS-NN-opt supervision makes it
-    # solvable at 50 where the paper reported ~71%)
-    "babi19_small": _babi("babi19_small", 19, state_dim=16, epochs=500,
-                          n_train=50, lr=1e-3),
+    # solvable at 50 where the paper reported ~71%).  D=6 / lr=2e-3 is the
+    # verified-working regime at 50 examples; the D=16 / lr=1e-3 setting
+    # that fits 250 examples collapses here.
+    "babi19_small": _babi("babi19_small", 19, state_dim=6, epochs=500,
+                          n_train=50, lr=2e-3),
 }
 
 
