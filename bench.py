@@ -37,8 +37,10 @@ def build_args():
                     choices=["auto", "xla", "pallas", "onehot"])
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
-    ap.add_argument("--dtype", type=str, default="float32",
-                    choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="aggregation compute dtype (f32 accumulation either "
+                         "way; bf16 is the production setting)")
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "train"],
                     help="fwd: propagation only; train: full fwd+bwd+Adam")
