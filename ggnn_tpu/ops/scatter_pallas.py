@@ -5,27 +5,34 @@ inside the kernel").
 
 XLA lowers ``segment_sum`` on TPU to a scatter that processes colliding
 rows serially — ~140 ns/edge, which dominated the whole propagation step
-(measured ≈1.16 s for 8M edges).  This kernel instead:
+(measured ≈1.16 s for 8M edges).  This module instead:
 
 1. Groups directed edges by 128-row destination block (host-side layout,
    topology-static — built once per batch, reused across all T steps and
    training iterations), each group padded to a multiple of ``tile_e``.
-2. Runs a grid of (dst_block, edge_tile) programs.  Each program builds the
-   one-hot matrix ``O[v, e] = (dst[e] == v)`` on the VPU and accumulates
-   ``O · M`` (a [128, tile_e] × [tile_e, D] MXU matmul) into the output
-   block, which stays resident in VMEM across the inner grid dimension
-   (TPU grids execute sequentially → output revisiting is race-free).
+2. Materializes the one-hot matrix ``O[v, e] = (dst[e] == v)`` as a
+   PRE-TRANSPOSED int8 stream ``[n_tiles·128, tile_e]`` at layout-build
+   time (it is topology-only): the production kernel
+   (``onehot_segment_scatter_flat``, flat 1-D grid over edge tiles) is then
+   a pure two-stream MXU ``dot_general`` accumulating into a VMEM-resident
+   output block (TPU grids execute sequentially → output revisiting across
+   consecutive tiles of a block is race-free).  Streaming per-edge dst ids
+   instead is a trap: an ``[E, 1]`` i32 array is lane-padded 128× in HBM
+   and measured as slow as XLA's scatter.
 
-Padding edges carry ``dst_local = -1`` → an all-zero one-hot column, so no
-separate mask pass is needed.  FLOPs: 2·E·128·D — for D=128 the same as
-the message matmuls themselves, i.e. the scatter rides the MXU at matmul
-speed instead of serializing on the scalar core.
+Padding edges carry an all-zero one-hot column (``dst_local = −1`` in the
+id-based fallback kernel), so no separate mask pass is needed.  FLOPs:
+2·E·128·D — for D=128 the same as the message matmuls themselves, i.e. the
+scatter rides the MXU at matmul speed instead of serializing on the scalar
+core.  Measured: 147 ms (XLA) → ~30 ms (this kernel) for 8M edges, D=128.
 
 ``aggregate_onehot`` composes the full typed aggregation step:
 node-side per-type transforms (one big MXU einsum) → linear-order gather →
-one-hot scatter.  Best when ``2E·N ≲ |edges|`` (node transforms amortize);
-the type-tiled kernel in :mod:`ggnn_tpu.ops.spmm_pallas` covers the
-opposite regime.
+one-hot scatter, with a custom VJP whose backward typed scatter rides the
+same kernel (transposed grad layout).  Best when ``2E·N ≲ |edges|``
+(node transforms amortize); the type-tiled kernel in
+:mod:`ggnn_tpu.ops.spmm_pallas` covers the opposite regime, and
+``aggregate_onehot_chunked`` bounds peak memory for HBM-limited configs.
 """
 
 from __future__ import annotations
