@@ -507,101 +507,6 @@ def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
     )(tile_start, messages, onehot_t)
 
 
-def _scatter_loop_kernel(tile_start_ref, msg_hbm, dst_hbm, out_ref,
-                         msg_buf, dst_buf, msg_sem, dst_sem, *, tile_e):
-    """One program per dst block: inner fori_loop over the block's edge
-    tiles with double-buffered HBM→VMEM DMA (guide pattern).  Removes the
-    ~2.5 µs/program grid overhead that dominated the 2-D-grid variant."""
-    b = pl.program_id(0)
-    start = tile_start_ref[b]
-    count = tile_start_ref[b + 1] - start
-    out_ref[...] = jnp.zeros_like(out_ref)
-    NBUF = 2
-
-    def make_dmas(slot, k):
-        row0 = (start + k) * tile_e
-        m = pltpu.make_async_copy(msg_hbm.at[pl.ds(row0, tile_e), :],
-                                  msg_buf.at[slot], msg_sem.at[slot])
-        # dst ids stream as [1, tile_e] rows (lane-major — a (tile_e, 1)
-        # int32 tile would be 1-lane × tile_e-sublane, which the Mosaic
-        # compiler rejects)
-        d = pltpu.make_async_copy(dst_hbm.at[pl.ds(start + k, 1), :],
-                                  dst_buf.at[slot], dst_sem.at[slot])
-        return m, d
-
-    @pl.when(count > 0)
-    def _():
-        m, d = make_dmas(0, 0)
-        m.start()
-        d.start()
-
-    def body(k, _):
-        slot = k % NBUF
-        nxt = (k + 1) % NBUF
-
-        @pl.when(k + 1 < count)
-        def _():
-            m, d = make_dmas(nxt, k + 1)
-            m.start()
-            d.start()
-
-        m, d = make_dmas(slot, k)
-        m.wait()
-        d.wait()
-        dst = dst_buf[slot]                                  # [1, tile_e]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, tile_e), 0)
-        onehot = (dst == rows).astype(msg_buf.dtype)         # broadcast rows
-        out_ref[...] += jnp.dot(onehot, msg_buf[slot],
-                                preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, count, body, 0)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_blocks", "tile_e", "interpret"))
-def onehot_segment_scatter_looped(messages, dst_local, tile_start,
-                                  n_blocks: int, tile_e: int = 512,
-                                  interpret: bool = False):
-    """Pipelined variant of :func:`onehot_segment_scatter`: grid is
-    (n_blocks,) and each program streams its edge tiles through a
-    double-buffered DMA loop.  No ``max_tiles`` bound needed.
-
-    NOTE: the current Mosaic toolchain rejects the 1-row dst-id DMA slice
-    ("Slice shape along dimension 0 must be aligned to tiling (8)"), so
-    this variant runs in interpret mode only for now; production uses the
-    2-D-grid kernel with large ``tile_e`` (see docs/DESIGN.md)."""
-    D = messages.shape[-1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, ts: (b, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_e, D), messages.dtype),
-            pltpu.VMEM((2, 1, tile_e), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_scatter_loop_kernel, tile_e=tile_e)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * messages.shape[0] * BLOCK_N * D,
-            bytes_accessed=messages.shape[0] * (D + 1) * 4
-            + n_blocks * BLOCK_N * D * 4,
-            transcendentals=0,
-        ),
-    )(tile_start, messages, dst_local.reshape(-1, tile_e))
-
-
 def build_chunked_dst_layouts(edge_src, edge_dst, edge_type, edge_mask,
                               n_nodes_pad: int, n_chunks: int,
                               tile_e: int = 2048,

@@ -81,6 +81,40 @@ def test_aggregate_onehot_matches_xla(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_variants_agree(rng):
+    """All scatter kernel variants (id-based 2-D grid, int8-stream 2-D
+    grid, flat 1-D grid, looped-DMA) produce identical results."""
+    from ggnn_tpu.ops.scatter_pallas import (
+        onehot_segment_scatter_flat, onehot_segment_scatter_loopT,
+        onehot_segment_scatter_stream)
+    import jax.numpy as jnp
+
+    N, E, T2 = 256, 500, 4
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8)
+    msgs = jnp.asarray(rng.standard_normal(
+        (lay.gather_idx.shape[0], 16)).astype(np.float32))
+    dl = jnp.asarray(lay.dst_local)
+    oh = jnp.asarray(lay.onehot)
+    ts = jnp.asarray(lay.tile_start)
+    bt = jnp.asarray(lay.block_of_tile)
+    ref = np.asarray(onehot_segment_scatter(
+        msgs, dl, ts, n_blocks=lay.n_blocks, max_tiles=lay.max_tiles,
+        tile_e=8, interpret=True))
+    for name, out in (
+        ("stream", onehot_segment_scatter_stream(
+            msgs, oh, ts, n_blocks=lay.n_blocks, max_tiles=lay.max_tiles,
+            tile_e=8, interpret=True)),
+        ("flat", onehot_segment_scatter_flat(
+            msgs, oh, ts, bt, n_blocks=lay.n_blocks, tile_e=8,
+            interpret=True)),
+        ("loopT", onehot_segment_scatter_loopT(
+            msgs, oh, ts, n_blocks=lay.n_blocks, tile_e=8, interpret=True)),
+    ):
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6,
+                                   atol=1e-6, err_msg=name)
+
+
 def test_propagate_onehot_backend(rng):
     graphs = []
     for _ in range(3):
