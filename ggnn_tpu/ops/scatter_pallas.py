@@ -480,8 +480,8 @@ def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BLOCK_N, D), lambda b, ts: (b, 0)),
         scratch_shapes=[
