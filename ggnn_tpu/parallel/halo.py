@@ -1,8 +1,9 @@
 """Sharded propagation over the 'graph' mesh axis (SURVEY.md §5.7-5.8).
 
-Two exchange strategies, both pure-XLA collectives inside ``shard_map``
-(compiled onto ICI within a slice / DCN across slices — no custom
-transport, SURVEY.md §5.8):
+Three strategies, all pure-XLA collectives inside ``shard_map`` (compiled
+onto ICI within a slice / DCN across slices — no custom transport,
+SURVEY.md §5.8); halo states travel in the compute dtype (bf16 halves the
+exchange bytes):
 
 - ``all_gather`` — every shard gathers the full node-state array each step
   and aggregates its local (dst-owned) edges.  Simple; bandwidth O(N·D)
@@ -16,6 +17,8 @@ transport, SURVEY.md §5.8):
   through the same uniform gather, and XLA's latency-hiding scheduler can
   overlap the all-to-all with the type-transform matmuls because they are
   dataflow-independent.
+- ``halo_onehot`` — the halo plan plus per-shard one-hot MXU scatter
+  kernels (the production large-graph path; ``n_local % 128 == 0``).
 
 The T-step recurrence stays a single ``lax.scan`` inside one ``shard_map``
 — node states never leave their shard; only halo states move.
@@ -83,7 +86,9 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         cdt = jnp.dtype(cfg.compute_dtype)
 
         def exchange(h_local):
-            send = h_local[send_idx.reshape(-1)].reshape(
+            # halo states travel in the compute dtype (bf16 halves ICI/DCN
+            # bytes); accumulation stays f32 downstream
+            send = h_local.astype(cdt)[send_idx.reshape(-1)].reshape(
                 send_idx.shape[0], H, -1)                     # [P, H, D]
             recv = jax.lax.all_to_all(
                 send, axis_name, split_axis=0, concat_axis=0,
@@ -93,14 +98,14 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         def step(h_local, _):
             if strategy == "all_gather":
                 h_src_pool = jax.lax.all_gather(
-                    h_local, axis_name, tiled=True)           # [N, D]
+                    h_local.astype(cdt), axis_name, tiled=True)  # [N, D]
                 src_idx = src_g
             else:
                 h_src_pool = exchange(h_local)
                 src_idx = src_h
             if strategy == "halo_onehot":
                 table = jnp.einsum(
-                    "nd,tdf->tnf", h_src_pool.astype(cdt),
+                    "nd,tdf->tnf", h_src_pool,
                     prop["msg_w"].astype(cdt),
                     preferred_element_type=jnp.float32) \
                     + prop["msg_b"][:, None, :]
