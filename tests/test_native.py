@@ -42,6 +42,22 @@ def test_native_sort_edges_matches_python(rng):
     np.testing.assert_array_equal(po, co)
 
 
+def test_native_sort_fuzz(rng):
+    """Larger randomized sort cases incl. empty types and duplicates."""
+    for trial in range(5):
+        n = int(rng.integers(1, 20000))
+        T = int(rng.integers(1, 12))
+        src = rng.integers(0, 500, n)
+        dst = rng.integers(0, 500, n)
+        typ = rng.integers(0, max(1, T - 2), n)  # leave top types empty
+        ps, pd, pt, po = _sort_edges(src, dst, typ, T)
+        cs, cd, ct, co = native.sort_edges_native(src, dst, typ, T)
+        np.testing.assert_array_equal(ps, cs)
+        np.testing.assert_array_equal(pd, cd)
+        np.testing.assert_array_equal(pt, ct)
+        np.testing.assert_array_equal(po, co)
+
+
 def test_native_halo_plan_matches_python(rng):
     graphs = []
     for _ in range(4):
