@@ -52,8 +52,11 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     - ``halo_onehot``: halo all-to-all + per-shard one-hot MXU scatter
       kernels (ops/scatter_pallas.py) — the production large-graph path;
       needs ``n_local % 128 == 0``."""
-    if strategy not in ("halo", "all_gather", "halo_onehot"):
+    if strategy not in ("halo", "all_gather", "halo_onehot", "halo_overlap"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "halo_overlap" and parts.local_edges is None:
+        from ggnn_tpu.parallel.partition import split_local_remote
+        parts = split_local_remote(parts)
 
     n_local = parts.n_local
     H = parts.halo_size
@@ -74,7 +77,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
             interpret = jax.default_backend() != "tpu"
 
     def body(prop, ann, src_g, src_h, dst_l, etype, emask, send_idx,
-             gidx, onehot, tstart, btile):
+             gidx, onehot, tstart, btile, loc, rem):
         # shapes inside: ann [1, n_local, A], edges [1, E_l],
         # send_idx [1, P, H] (this shard's owner-row of the send plan)
         ann = ann[0]
@@ -103,7 +106,19 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
             else:
                 h_src_pool = exchange(h_local)
                 src_idx = src_h
-            if strategy == "halo_onehot":
+            if strategy == "halo_overlap":
+                # SURVEY.md §5.7: local-edge aggregation reads h_local only
+                # — no dependency on the all-to-all, so XLA overlaps them
+                a_loc = typed_aggregate(
+                    h_local.astype(cdt), loc["src"][0], loc["dst"][0],
+                    loc["type"][0], loc["mask"][0], prop["msg_w"],
+                    prop["msg_b"], strategy=cfg.agg_strategy)[:n_local]
+                a_rem = typed_aggregate(
+                    h_src_pool, rem["src"][0], rem["dst"][0], rem["type"][0],
+                    rem["mask"][0], prop["msg_w"], prop["msg_b"],
+                    strategy=cfg.agg_strategy)[:n_local]
+                a = a_loc + a_rem
+            elif strategy == "halo_onehot":
                 table = jnp.einsum(
                     "nd,tdf->tnf", h_src_pool,
                     prop["msg_w"].astype(cdt),
@@ -133,7 +148,8 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         in_specs=(P(),                     # prop params replicated
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+                  P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
         check_vma=False,
     )
@@ -145,7 +161,14 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         oh = lay_arrays["onehot"]
         ts = lay_arrays["tile_start"]
         bt = lay_arrays["block_of_tile"]
+    zdict = {"src": np.zeros((parts.n_shards, 1), np.int32),
+             "dst": np.zeros((parts.n_shards, 1), np.int32),
+             "type": np.zeros((parts.n_shards, 1), np.int32),
+             "mask": np.zeros((parts.n_shards, 1), np.float32)}
+    loc = parts.local_edges if strategy == "halo_overlap" else zdict
+    rem = parts.remote_edges if strategy == "halo_overlap" else zdict
     h = shard(prop, parts.annotations, parts.edge_src_global,
               parts.edge_src_halo, parts.edge_dst_local, parts.edge_type,
-              parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt)
+              parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt,
+              loc, rem)
     return h.reshape(-1, cfg.state_dim)

@@ -48,6 +48,12 @@ class PartitionedBatch:
     edge_mask: np.ndarray          # [P, E_l]
     type_offsets: np.ndarray       # [P, T2+1]
     halo_send_idx: np.ndarray      # [P(owner), P(requester), H] local ids
+    # local/remote split (SURVEY.md §5.7: overlap the all-to-all with
+    # aggregation of purely-LOCAL edges — local edges read h_local directly
+    # and carry no dataflow dependency on the exchange).  Derived by
+    # split_local_remote(); None until then.
+    local_edges: "dict | None" = None   # src (shard-local ids), dst, type, mask
+    remote_edges: "dict | None" = None  # src (halo coords), dst, type, mask
 
     @property
     def arrays(self) -> dict:
@@ -59,7 +65,7 @@ class PartitionedBatch:
 _PB_ARRAY_FIELDS = ("annotations", "node_mask", "node_graph",
                     "edge_src_global", "edge_src_halo", "edge_dst_local",
                     "edge_type", "edge_mask", "type_offsets",
-                    "halo_send_idx")
+                    "halo_send_idx", "local_edges", "remote_edges")
 
 # registered pytree (arrays = leaves, sizes = static aux) so a
 # PartitionedBatch can pass through jit ARGUMENTS — closure-captured
@@ -175,6 +181,49 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         edge_dst_local=edge_dst_local, edge_type=edge_type,
         edge_mask=edge_mask, type_offsets=type_offsets,
         halo_send_idx=halo_send_idx)
+
+
+def split_local_remote(parts: PartitionedBatch,
+                       edge_mult: int = 8) -> PartitionedBatch:
+    """Populate ``local_edges`` / ``remote_edges`` (SURVEY.md §5.7).
+
+    Local edges (src owned by the dst's shard) are re-indexed to
+    shard-LOCAL source ids so their aggregation reads ``h_local`` directly
+    — giving XLA's scheduler a compute block that is dataflow-independent
+    of the halo all-to-all and can overlap it.  Remote edges keep halo
+    coordinates into the receive buffer."""
+    P, n_local = parts.n_shards, parts.n_local
+    rup = lambda x, m: ((x + m - 1) // m) * m
+
+    sel_local = []
+    for s in range(P):
+        owner = parts.edge_src_global[s] // n_local
+        sel_local.append((owner == s) & (parts.edge_mask[s] > 0))
+    n_loc = max(rup(max(int(m.sum()) for m in sel_local), edge_mult),
+                edge_mult)
+    n_rem = max(rup(max(int(((parts.edge_mask[s] > 0) & ~sel_local[s]).sum())
+                        for s in range(P)), edge_mult), edge_mult)
+
+    def alloc(e):
+        return {k: np.zeros((P, e), np.int32) for k in ("src", "dst", "type")} \
+            | {"mask": np.zeros((P, e), np.float32)}
+
+    loc, rem = alloc(n_loc), alloc(n_rem)
+    for s in range(P):
+        lm = sel_local[s]
+        rm = (parts.edge_mask[s] > 0) & ~lm
+        nl, nr = int(lm.sum()), int(rm.sum())
+        loc["src"][s, :nl] = parts.edge_src_global[s][lm] - s * n_local
+        loc["dst"][s, :nl] = parts.edge_dst_local[s][lm]
+        loc["type"][s, :nl] = parts.edge_type[s][lm]
+        loc["mask"][s, :nl] = 1.0
+        rem["src"][s, :nr] = parts.edge_src_halo[s][rm]
+        rem["dst"][s, :nr] = parts.edge_dst_local[s][rm]
+        rem["type"][s, :nr] = parts.edge_type[s][rm]
+        rem["mask"][s, :nr] = 1.0
+    parts.local_edges = loc
+    parts.remote_edges = rem
+    return parts
 
 
 def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):

@@ -63,7 +63,7 @@ def test_partition_invariants(rng):
         parts.annotations.reshape(-1, spec.annotation_dim), b.annotations)
 
 
-@pytest.mark.parametrize("strategy", ["all_gather", "halo"])
+@pytest.mark.parametrize("strategy", ["all_gather", "halo", "halo_overlap"])
 def test_sharded_propagate_matches_single_device(rng, strategy):
     spec, b = make_random_batch(rng, n_mult=8)
     cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=4)
