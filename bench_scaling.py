@@ -28,7 +28,7 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--strategy", type=str, default="halo_onehot",
-                    choices=["halo", "all_gather", "halo_onehot"])
+                    choices=["halo", "all_gather", "halo_onehot", "halo_overlap"])
     ap.add_argument("--shards", type=int, nargs="*", default=None,
                     help="shard counts to test (default: 1..device_count)")
     ap.add_argument("--force_cpu_devices", type=int, default=0)
