@@ -32,11 +32,8 @@ from typing import Any, Optional
 
 import numpy as np
 
-try:  # jax is the normal runtime; numpy-only contexts (oracle tests) also work
-    import jax
-    _HAVE_JAX = True
-except Exception:  # pragma: no cover
-    _HAVE_JAX = False
+# edge counts above this use the C++ sort (ggnn_tpu.native) when available
+_NATIVE_SORT_THRESHOLD = 4096
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,10 +116,17 @@ class GraphBatch:
 
 
 def _sort_edges(src, dst, etype, n_message_types):
-    """Sort directed edges by (type, dst) and compute type segment offsets."""
+    """Sort directed edges by (type, dst) and compute type segment offsets.
+
+    Dispatches to the native C++ sort (exact-equality tested) for large
+    edge counts."""
     src = np.asarray(src, np.int32)
     dst = np.asarray(dst, np.int32)
     etype = np.asarray(etype, np.int32)
+    if src.shape[0] >= _NATIVE_SORT_THRESHOLD:
+        from ggnn_tpu import native
+        if native.available():
+            return native.sort_edges_native(src, dst, etype, n_message_types)
     order = np.lexsort((src, dst, etype))
     src, dst, etype = src[order], dst[order], etype[order]
     counts = np.bincount(etype, minlength=n_message_types)
