@@ -36,12 +36,9 @@ def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
     d_src = np.concatenate([src, dst])
     d_dst = np.concatenate([dst, src])
     d_typ = np.concatenate([typ, typ + n_edge_types])
-    order = np.lexsort((d_dst, d_typ))
-    d_src, d_dst, d_typ = d_src[order], d_dst[order], d_typ[order]
-
-    counts = np.bincount(d_typ, minlength=2 * n_edge_types)
-    offsets = np.zeros(2 * n_edge_types + 1, np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    from ggnn_tpu.graph import _sort_edges  # native C++ sort when available
+    d_src, d_dst, d_typ, offsets = _sort_edges(
+        d_src, d_dst, d_typ, 2 * n_edge_types)
 
     edge_src = np.zeros(e_pad, np.int32)
     edge_dst = np.zeros(e_pad, np.int32)
