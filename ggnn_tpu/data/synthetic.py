@@ -15,11 +15,20 @@ from ggnn_tpu.graph import GraphBatch, PaddingSpec
 def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
                     annotation_dim: int = 8, state_dim: int | None = None,
                     seed: int = 0, node_mult: int = 8,
-                    edge_mult: int = 128) -> GraphBatch:
-    """One big uniform random graph as a GraphBatch (single graph id 0).
+                    edge_mult: int = 128, n_communities: int = 0,
+                    p_intra: float = 0.9) -> GraphBatch:
+    """One big random graph as a GraphBatch (single graph id 0).
 
     ``n_edges`` counts LOGICAL edges; the batch holds 2× directed message
     edges.  Edge axis is padded to ``edge_mult`` (Pallas tile friendliness).
+
+    ``n_communities > 0`` produces a community-structured graph: nodes are
+    split into contiguous communities and each edge is intra-community with
+    probability ``p_intra`` — the locality regime where the deduplicated
+    halo plan (parallel/partition.py) shrinks the exchange and where the
+    round-2 gather optimizations apply.  Contiguous communities align with
+    the contiguous-range shard ownership, as a production partitioner
+    (METIS-style) would arrange.
     """
     rng = np.random.default_rng(seed)
     rup = lambda x, m: ((x + m - 1) // m) * m
@@ -29,8 +38,18 @@ def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
     spec = PaddingSpec(n_graphs=1, n_pad=n_pad, e_pad=e_pad,
                        n_edge_types=n_edge_types, annotation_dim=annotation_dim)
 
-    src = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
-    dst = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    if n_communities > 0:
+        csize = n_nodes // n_communities
+        com = rng.integers(0, n_communities, n_edges)
+        intra = rng.random(n_edges) < p_intra
+        src = rng.integers(0, csize, n_edges) + com * csize
+        dst_in = rng.integers(0, csize, n_edges) + com * csize
+        dst_out = rng.integers(0, n_nodes, n_edges)
+        src = src.astype(np.int64)
+        dst = np.where(intra, dst_in, dst_out).astype(np.int64)
+    else:
+        src = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+        dst = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
     typ = rng.integers(0, n_edge_types, n_edges, dtype=np.int64)
 
     d_src = np.concatenate([src, dst])

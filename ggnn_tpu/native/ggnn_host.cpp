@@ -263,8 +263,10 @@ void* ggnn_halo_plan(int64_t n_edges, const int32_t* src, const int32_t* dst,
       plan->type_offsets[s][t + 1] += plan->type_offsets[s][t];
     e_local = std::max<int64_t>(e_local, static_cast<int64_t>(ids.size()));
 
-    // per-owner request lists (sorted unique local ids)
+    // per-owner request lists (sorted unique local ids); the diagonal is
+    // EXCLUDED — self-edges read h_local directly (pool = recv || h_local)
     for (int32_t o = 0; o < P; ++o) {
+      if (o == s) continue;
       std::vector<int32_t> loc;
       for (int32_t u : sg)
         if (u / n_local == o) loc.push_back(u - o * static_cast<int32_t>(n_local));
@@ -278,13 +280,19 @@ void* ggnn_halo_plan(int64_t n_edges, const int32_t* src, const int32_t* dst,
   plan->e_local = rup(e_local, 8);
   plan->H = rup(std::max<int64_t>(H, 8), 8);
 
-  // halo index per edge: owner * H + rank of (src - owner*n_local) in req
+  // halo index per edge: owner * H + rank of (src - owner*n_local) in req;
+  // self-edges index past the receive buffer into h_local (P*H + local id)
   for (int32_t s = 0; s < P; ++s) {
     auto& sg = plan->src_g[s];
     auto& hl = plan->halo[s];
     hl.resize(sg.size());
     for (size_t i = 0; i < sg.size(); ++i) {
       int32_t o = sg[i] / static_cast<int32_t>(n_local);
+      if (o == s) {
+        hl[i] = static_cast<int64_t>(P) * plan->H +
+                (sg[i] - s * static_cast<int32_t>(n_local));
+        continue;
+      }
       const auto& r = plan->req[s][o];
       int64_t pos = std::lower_bound(r.begin(), r.end(),
                                      sg[i] - o * static_cast<int32_t>(n_local)) -

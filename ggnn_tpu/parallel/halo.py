@@ -90,13 +90,18 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
 
         def exchange(h_local):
             # halo states travel in the compute dtype (bf16 halves ICI/DCN
-            # bytes); accumulation stays f32 downstream
+            # bytes); accumulation stays f32 downstream.  Self-edges are NOT
+            # exchanged: the pool is [recv ∥ h_local] and their halo coords
+            # index past P·H (keeps clustered-graph exchanges proportional
+            # to the true cross-shard traffic).
             send = h_local.astype(cdt)[send_idx.reshape(-1)].reshape(
                 send_idx.shape[0], H, -1)                     # [P, H, D]
             recv = jax.lax.all_to_all(
                 send, axis_name, split_axis=0, concat_axis=0,
                 tiled=False)                                  # [P, H, D]
-            return recv.reshape(-1, h_local.shape[-1])        # [P·H, D]
+            return jnp.concatenate(
+                [recv.reshape(-1, h_local.shape[-1]),
+                 h_local.astype(cdt)], axis=0)                # [P·H+n_local, D]
 
         def step(h_local, _):
             if strategy == "all_gather":

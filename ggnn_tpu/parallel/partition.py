@@ -132,10 +132,13 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         reqs = []
         owners = es // n_local
         for o in range(n_shards):
-            loc = np.unique(es[owners == o] - o * n_local)
-            reqs.append(loc)
-        # the diagonal always includes something (may be empty if shard has
-        # no edges — fine, padded)
+            if o == s:
+                # self-edges read h_local directly (pool = recv ∥ h_local);
+                # including them in the exchange would pad every chunk to
+                # ~n_local on clustered graphs
+                reqs.append(np.zeros((0,), np.int64))
+            else:
+                reqs.append(np.unique(es[owners == o] - o * n_local))
         requests.append(reqs)
 
     H = max((len(r) for reqs in requests for r in reqs), default=1)
@@ -167,9 +170,13 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         owners = es // n_local
         halo = np.empty(m, np.int64)
         for o in range(n_shards):
+            osel = owners == o
+            if o == s:
+                # self-edges index past the receive buffer into h_local
+                halo[osel] = n_shards * H + (es[osel] - s * n_local)
+                continue
             req = requests[s][o]
             halo_send_idx[o, s, :len(req)] = req
-            osel = owners == o
             pos = np.searchsorted(req, es[osel] - o * n_local)
             halo[osel] = o * H + pos
         edge_src_halo[s, :m] = halo
@@ -249,7 +256,7 @@ def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
         build_dst_block_layout(
             parts.edge_src_halo[s], parts.edge_dst_local[s],
             parts.edge_type[s], parts.edge_mask[s], n_local,
-            tile_e=tile_e, n_src_rows=P * H, onehot_stream=True)
+            tile_e=tile_e, n_src_rows=P * H + n_local, onehot_stream=True)
         for s in range(P)
     ]
     n_tiles = max(l.block_of_tile.shape[0] for l in lays)
@@ -269,5 +276,5 @@ def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
     arrays = {"gather_idx": gather_idx, "onehot": onehot,
               "tile_start": tile_start, "block_of_tile": block_of_tile}
     meta = {"tile_e": tile_e, "n_blocks": n_blocks, "n_tiles": n_tiles,
-            "halo_rows": P * H}
+            "halo_rows": P * H + n_local}
     return arrays, meta

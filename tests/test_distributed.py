@@ -47,12 +47,20 @@ def test_partition_invariants(rng):
         dst_g = parts.edge_dst_local[s, m] + s * parts.n_local
         assert (parts.edge_dst_local[s, m] >= 0).all()
         assert (parts.edge_dst_local[s, m] < parts.n_local).all()
-        # halo remap round-trips to the global src id
-        owner = parts.edge_src_halo[s, m] // parts.halo_size
-        pos = parts.edge_src_halo[s, m] % parts.halo_size
-        src_back = owner * parts.n_local + \
-            parts.halo_send_idx[owner, s, pos]
+        # halo remap round-trips to the global src id: coords past P·H are
+        # self-edges reading h_local (the pool is [recv ∥ h_local])
+        halo = parts.edge_src_halo[s, m]
+        PH = 8 * parts.halo_size
+        is_local = halo >= PH
+        owner = np.where(is_local, s, halo // parts.halo_size)
+        pos = halo % parts.halo_size
+        src_back = np.where(
+            is_local, s * parts.n_local + (halo - PH),
+            owner * parts.n_local + parts.halo_send_idx[owner, s, pos])
         np.testing.assert_array_equal(src_back, parts.edge_src_global[s, m])
+        # and self-edges are exactly the locally-owned sources
+        np.testing.assert_array_equal(
+            is_local, parts.edge_src_global[s, m] // parts.n_local == s)
         # edges sorted by type within shard
         et = parts.edge_type[s, m]
         assert (np.diff(et) >= 0).all()
