@@ -31,6 +31,9 @@ def main() -> int:
                     choices=["halo", "all_gather", "halo_onehot", "halo_overlap"])
     ap.add_argument("--shards", type=int, nargs="*", default=None,
                     help="shard counts to test (default: 1..device_count)")
+    ap.add_argument("--communities", type=int, default=0,
+                    help="community-structured graph (0 = uniform)")
+    ap.add_argument("--p_intra", type=float, default=0.95)
     ap.add_argument("--force_cpu_devices", type=int, default=0)
     args = ap.parse_args()
 
@@ -54,7 +57,9 @@ def main() -> int:
                                    if p <= n_dev]
     batch = synthetic_batch(args.nodes, args.edges, args.types,
                             annotation_dim=8, seed=0,
-                            node_mult=128 * max(shard_counts))
+                            node_mult=128 * max(shard_counts),
+                            n_communities=args.communities,
+                            p_intra=args.p_intra)
     n_dir = int(batch.edge_mask.sum())
     cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                       n_edge_types=args.types, n_steps=args.steps)
