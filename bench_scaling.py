@@ -69,6 +69,9 @@ def main() -> int:
     for P in shard_counts:
         mesh = make_mesh(n_graph=P, n_data=1)
         parts = partition_batch(batch, P)
+        if args.strategy == "halo_overlap":
+            from ggnn_tpu.parallel.partition import split_local_remote
+            parts = split_local_remote(parts)  # host-side, before jit
         lay = None
         if args.strategy == "halo_onehot":
             from ggnn_tpu.parallel.partition import build_halo_scatter_layouts

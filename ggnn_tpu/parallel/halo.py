@@ -55,6 +55,10 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     if strategy not in ("halo", "all_gather", "halo_onehot", "halo_overlap"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "halo_overlap" and parts.local_edges is None:
+        if isinstance(parts.edge_src_global, jax.core.Tracer):
+            raise ValueError(
+                "halo_overlap under jit needs split_local_remote(parts) "
+                "called on the host before the jitted function")
         from ggnn_tpu.parallel.partition import split_local_remote
         parts = split_local_remote(parts)
 
