@@ -507,6 +507,142 @@ def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
     )(tile_start, messages, onehot_t)
 
 
+def _scatter_mono_kernel(block_of_tile_ref, tile_start_ref, msg_hbm, oh_hbm,
+                         out_hbm, acc, msg_buf, oh_buf, msg_sem, oh_sem,
+                         out_sem, *, tile_e, nbuf, blocks_per_prog):
+    """Monolithic streaming scatter: ONE grid program per contiguous range
+    of dst blocks, looping over every edge tile with an ``nbuf``-deep input
+    DMA ring and a double-buffered VMEM block accumulator whose flushes to
+    HBM are async copies.  Rationale: the flat 1-D grid pays a fixed
+    ~3–7 µs of Mosaic program overhead per 2048-edge tile (≈30 ms at 8M
+    edges, vs a ~5 ms HBM-bandwidth floor); here the grid machinery runs
+    once and the inner loop costs only the scalar work of issuing DMAs."""
+    p = pl.program_id(0)
+    b0 = p * blocks_per_prog
+    t0 = tile_start_ref[b0]
+    t1 = tile_start_ref[b0 + blocks_per_prog]
+
+    def in_dma(slot, t):
+        m = pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(t * tile_e, tile_e), :],
+            msg_buf.at[slot], msg_sem.at[slot])
+        o = pltpu.make_async_copy(
+            oh_hbm.at[pl.ds(t * BLOCK_N, BLOCK_N), :],
+            oh_buf.at[slot], oh_sem.at[slot])
+        return m, o
+
+    def out_dma(par, blk):
+        return pltpu.make_async_copy(
+            acc.at[par], out_hbm.at[pl.ds(blk * BLOCK_N, BLOCK_N), :],
+            out_sem.at[par])
+
+    def prolog(k, _):
+        @pl.when(t0 + k < t1)
+        def _():
+            m, o = in_dma(k, t0 + k)
+            m.start()
+            o.start()
+        return 0
+
+    jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, nbuf)
+        blk = block_of_tile_ref[t]
+        par = jax.lax.rem(blk - b0, 2)
+        first = t == tile_start_ref[blk]
+        last = t == tile_start_ref[blk + 1] - 1
+
+        # the accumulator parity we are about to (re)use was flushed two
+        # blocks ago — drain that flush before overwriting
+        @pl.when(jnp.logical_and(first, blk - b0 >= 2))
+        def _():
+            out_dma(par, blk - 2).wait()
+
+        m, o = in_dma(slot, t)
+        m.wait()
+        o.wait()
+        oh = oh_buf[slot].astype(msg_buf.dtype)              # [128, tile_e]
+        prod = jax.lax.dot_general(
+            oh, msg_buf[slot], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            acc[par] = prod
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc[par] = acc[par] + prod
+
+        @pl.when(t + nbuf < t1)
+        def _():
+            m2, o2 = in_dma(slot, t + nbuf)
+            m2.start()
+            o2.start()
+
+        @pl.when(last)
+        def _():
+            out_dma(par, blk).start()
+
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    # epilogue: drain the final (up to two) output flushes
+    last_blk = b0 + blocks_per_prog - 1
+    if blocks_per_prog >= 2:
+        out_dma(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1).wait()
+    out_dma(jax.lax.rem(last_blk - b0, 2), last_blk).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "tile_e", "n_progs", "nbuf",
+                                    "interpret"))
+def onehot_segment_scatter_mono(messages, onehot_t, tile_start, block_of_tile,
+                                n_blocks: int, tile_e: int = 2048,
+                                n_progs: int = 1, nbuf: int = 4,
+                                interpret: bool = False):
+    """Monolithic-streaming variant of :func:`onehot_segment_scatter_flat`
+    (see :func:`_scatter_mono_kernel`).  ``n_progs`` grid programs each own
+    ``n_blocks / n_progs`` contiguous dst blocks."""
+    if n_blocks % n_progs:
+        raise ValueError("n_progs must divide n_blocks")
+    D = messages.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_progs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((nbuf, tile_e, D), messages.dtype),
+            pltpu.VMEM((nbuf, BLOCK_N, tile_e), onehot_t.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_scatter_mono_kernel, tile_e=tile_e,
+                               nbuf=nbuf,
+                               blocks_per_prog=n_blocks // n_progs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * messages.shape[0] * BLOCK_N * D,
+            bytes_accessed=messages.shape[0] * (D * messages.dtype.itemsize
+                                                + BLOCK_N)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(block_of_tile, tile_start, messages, onehot_t)
+
+
 def build_chunked_dst_layouts(edge_src, edge_dst, edge_type, edge_mask,
                               n_nodes_pad: int, n_chunks: int,
                               tile_e: int = 2048,

@@ -86,7 +86,7 @@ def test_kernel_variants_agree(rng):
     grid, flat 1-D grid, looped-DMA) produce identical results."""
     from ggnn_tpu.ops.scatter_pallas import (
         onehot_segment_scatter_flat, onehot_segment_scatter_loopT,
-        onehot_segment_scatter_stream)
+        onehot_segment_scatter_mono, onehot_segment_scatter_stream)
     import jax.numpy as jnp
 
     N, E, T2 = 256, 500, 4
@@ -110,6 +110,12 @@ def test_kernel_variants_agree(rng):
             interpret=True)),
         ("loopT", onehot_segment_scatter_loopT(
             msgs, oh, ts, n_blocks=lay.n_blocks, tile_e=8, interpret=True)),
+        ("mono1", onehot_segment_scatter_mono(
+            msgs, oh, ts, bt, n_blocks=lay.n_blocks, tile_e=8, n_progs=1,
+            nbuf=3, interpret=True)),
+        ("mono2", onehot_segment_scatter_mono(
+            msgs, oh, ts, bt, n_blocks=lay.n_blocks, tile_e=8,
+            n_progs=lay.n_blocks // 1, nbuf=2, interpret=True)),
     ):
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6,
                                    atol=1e-6, err_msg=name)
