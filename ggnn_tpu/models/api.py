@@ -14,17 +14,26 @@ from ggnn_tpu.models import heads as H
 from ggnn_tpu.models.ggsnn import ggsnn_forward, ggsnn_loss, ggsnn_node_loss
 
 
-def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int):
+def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int,
+            scatter_layout=None):
     """Task-head outputs: node scores [N] / per-node logits [N,C] /
-    graph logits [B,C] / GGS-NN round logits [K,B,V]."""
+    graph logits [B,C] / GGS-NN round logits [K,B,V].
+
+    ``scatter_layout`` (a DeviceScatterLayout built host-side per batch,
+    e.g. :func:`ggnn_tpu.ops.scatter_pallas.layout_for_batch`) selects the
+    one-hot MXU scatter path when ``cfg.backend == 'onehot'``."""
     ann = arrays["annotations"]
     e = (arrays["edge_src"], arrays["edge_dst"], arrays["edge_type"],
          arrays["edge_mask"])
     if cfg.head == "ggsnn":
         logits, _ = ggsnn_forward(params, cfg, ann, arrays["node_graph"],
-                                  arrays["node_mask"], *e, n_graphs=n_graphs)
+                                  arrays["node_mask"], *e, n_graphs=n_graphs,
+                                  type_offsets=arrays.get("type_offsets"),
+                                  scatter_layout=scatter_layout)
         return logits  # [K, B, V]
-    h = propagate(params["prop"], cfg, ann, *e)
+    h = propagate(params["prop"], cfg, ann, *e,
+                  type_offsets=arrays.get("type_offsets"),
+                  scatter_layout=scatter_layout)
     if cfg.head == "node_select":
         return H.node_select_scores(params["head"], h, ann)
     if cfg.head == "per_node":
@@ -37,7 +46,7 @@ def forward(params: dict, cfg: ModelConfig, arrays: dict, n_graphs: int):
 
 
 def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
-                     n_graphs: int):
+                     n_graphs: int, scatter_layout=None):
     """(scalar loss, metrics dict with 'correct' and 'count' sums)."""
     tgts = arrays["targets"]
     if cfg.head == "ggsnn":
@@ -45,7 +54,9 @@ def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
              arrays["edge_mask"])
         logits, anns = ggsnn_forward(
             params, cfg, arrays["annotations"], arrays["node_graph"],
-            arrays["node_mask"], *e, n_graphs=n_graphs)
+            arrays["node_mask"], *e, n_graphs=n_graphs,
+            type_offsets=arrays.get("type_offsets"),
+            scatter_layout=scatter_layout)
         use_sup = cfg.ann_supervision and "ann_seq" in tgts
         if cfg.ggsnn_output == "node":
             loss, correct, mask = ggsnn_node_loss(
@@ -67,7 +78,7 @@ def loss_and_metrics(params: dict, cfg: ModelConfig, arrays: dict,
                    "count": jnp.sum(mask)}
         return loss, metrics
 
-    out = forward(params, cfg, arrays, n_graphs)
+    out = forward(params, cfg, arrays, n_graphs, scatter_layout=scatter_layout)
     if cfg.head == "node_select":
         loss, correct, mask = H.node_select_loss(
             out, arrays["node_graph"], arrays["node_mask"], arrays["n_nodes"],

@@ -55,7 +55,7 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
               edge_src: jax.Array, edge_dst: jax.Array, edge_type: jax.Array,
               edge_mask: jax.Array, h0: jax.Array | None = None,
               collect_states: bool = False, type_offsets: jax.Array | None = None,
-              scatter_layout=None):
+              scatter_layout=None, tiles_layout: dict | None = None):
     """Run T propagation steps; returns final h [N, D] (and, if
     ``collect_states``, the stacked per-step states [T, N, D] for the
     oracle-parity tests, BASELINE.json:5)."""
@@ -119,16 +119,20 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
     elif cfg.backend == "pallas":
         from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
                                               typed_aggregate_tiled)
-        if type_offsets is None:
-            counts = jax.ops.segment_sum(
-                (edge_mask > 0).astype(jnp.int32), edge_type,
-                num_segments=cfg.n_message_types)
-            type_offsets = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32),
-                 jnp.cumsum(counts)]).astype(jnp.int32)
-        # tiled layout is topology-only — build once, outside the scan
-        layout = pack_type_tiles(edge_src, edge_dst, edge_type, edge_mask,
-                                 type_offsets, cfg.n_message_types)
+        if tiles_layout is not None:
+            layout = tiles_layout  # prebuilt (e.g. hoisted out of the
+            # GGS-NN round scan — topology is static across rounds)
+        else:
+            if type_offsets is None:
+                counts = jax.ops.segment_sum(
+                    (edge_mask > 0).astype(jnp.int32), edge_type,
+                    num_segments=cfg.n_message_types)
+                type_offsets = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(counts)]).astype(jnp.int32)
+            # tiled layout is topology-only — build once, outside the scan
+            layout = pack_type_tiles(edge_src, edge_dst, edge_type, edge_mask,
+                                     type_offsets, cfg.n_message_types)
 
         def packed_gate(h):
             if not cfg.edge_gates:

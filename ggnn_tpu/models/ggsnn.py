@@ -28,16 +28,36 @@ def annotation_update(ann: dict, h, annotations) -> jax.Array:
 
 def ggsnn_forward(params: dict, cfg: ModelConfig, annotations, node_graph,
                   node_mask, edge_src, edge_dst, edge_type, edge_mask,
-                  n_graphs: int):
+                  n_graphs: int, type_offsets=None, scatter_layout=None):
     """Per-round outputs and annotations: with ``cfg.ggsnn_output='graph'``
     (default) the outputs are token logits [K, B, V]; with ``'node'`` the
     paper's node-selection alternative emits per-node scores [K, N] (the
-    round's output is the selected next path node)."""
+    round's output is the selected next path node).
+
+    ``scatter_layout`` enables the ``onehot`` backend inside the round scan
+    (host-built, passed through jit arguments).  For the ``pallas`` backend
+    the type-tile layout is hoisted here — topology is static across rounds,
+    so it is built once rather than per round inside the scan."""
+    tiles_layout = None
+    if cfg.backend == "pallas":
+        from ggnn_tpu.ops.spmm_pallas import pack_type_tiles
+        if type_offsets is None:
+            import jax.numpy as _jnp
+            counts = jax.ops.segment_sum(
+                (edge_mask > 0).astype(_jnp.int32), edge_type,
+                num_segments=cfg.n_message_types)
+            type_offsets = _jnp.concatenate(
+                [_jnp.zeros((1,), _jnp.int32),
+                 _jnp.cumsum(counts)]).astype(_jnp.int32)
+        tiles_layout = pack_type_tiles(edge_src, edge_dst, edge_type,
+                                       edge_mask, type_offsets,
+                                       cfg.n_message_types)
 
     def round_fn(X, round_params):
         out_p, ann_p = round_params
         h = propagate(params["prop"], cfg, X, edge_src, edge_dst, edge_type,
-                      edge_mask)
+                      edge_mask, scatter_layout=scatter_layout,
+                      tiles_layout=tiles_layout)
         if cfg.ggsnn_output == "node":
             logits = node_select_scores(out_p, h, X)          # [N]
         else:

@@ -157,12 +157,26 @@ jax.tree_util.register_pytree_node(
     lambda meta, children: DeviceScatterLayout(meta=meta, arrays=children[0]))
 
 
+def static_tile_budget(e_pad: int, n_rows_pad: int, tile_e: int) -> int:
+    """Upper bound on the packed tile count of ANY topology with at most
+    ``e_pad`` real edges scattering into ``n_rows_pad`` rows: each dst
+    block wastes less than one tile, plus one tile per (possibly empty)
+    block.  Passing this as ``pad_tiles_to`` makes the layout's array
+    shapes a pure function of (e_pad, n_rows_pad, tile_e) — so a jitted
+    train step compiles ONCE across batches instead of per topology."""
+    return -(-e_pad // tile_e) + n_rows_pad // BLOCK_N
+
+
 def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, tile_e: int = 128,
                            with_grad: bool = False,
                            n_message_types: int | None = None,
                            onehot_stream: bool = True,
-                           n_src_rows: int | None = None) -> DstBlockLayout:
+                           n_src_rows: int | None = None,
+                           pad_tiles_to: int | None = None,
+                           grad_tile_e: int | None = None,
+                           grad_pad_tiles_to: int | None = None
+                           ) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
 
@@ -173,7 +187,14 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     ``n_src_rows`` decouples the source index space from the destination
     space (sharded halo aggregation: sources live in the [P·H]-row halo
     receive buffer while destinations are the shard's n_local rows);
-    defaults to ``n_nodes_pad``."""
+    defaults to ``n_nodes_pad``.
+
+    ``pad_tiles_to`` (and, with ``with_grad``, ``grad_tile_e`` +
+    ``grad_pad_tiles_to``) pad the packed streams to a STATIC total tile
+    count (see :func:`static_tile_budget`): every batch of a training run
+    then produces identically-shaped layouts and the jitted step compiles
+    once.  The extra all-padding tiles are appended to the last block
+    (zero one-hot columns — they contribute nothing)."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
     if n_src_rows is None:
@@ -196,6 +217,12 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     # every block gets >=1 (possibly all-padding) tile so the flat-grid
     # kernel's first-tile zero-init covers blocks with no incoming edges
     tiles = np.maximum(tiles, 1)
+    if pad_tiles_to is not None:
+        extra = pad_tiles_to - int(tiles.sum())
+        if extra < 0:
+            raise ValueError(
+                f"pad_tiles_to={pad_tiles_to} < required {int(tiles.sum())}")
+        tiles[-1] += extra  # all-padding tiles at the tail of the last block
     tile_start = np.zeros(n_blocks + 1, np.int32)
     np.cumsum(tiles, out=tile_start[1:])
     e_pack = int(tile_start[-1]) * tile_e
@@ -234,17 +261,20 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         # tile size from its own average block occupancy — inheriting the
         # forward tile would pad the stream by up to T2×.
         n_rows_grad = _rup_block(n_message_types * n_src_rows)
-        avg = max(1, src.shape[0] * BLOCK_N // max(n_rows_grad, 1))
-        g_tile = 128
-        while g_tile < min(avg, tile_e):
-            g_tile *= 2
+        if grad_tile_e is not None:
+            g_tile = grad_tile_e
+        else:
+            avg = max(1, src.shape[0] * BLOCK_N // max(n_rows_grad, 1))
+            g_tile = 128
+            while g_tile < min(avg, tile_e):
+                g_tile *= 2
         grad = build_dst_block_layout(
             edge_src=dst, edge_dst=typ * n_src_rows + src,
             edge_type=np.zeros_like(typ),
             edge_mask=np.ones(dst.shape[0], np.float32),
             n_nodes_pad=n_rows_grad,
             tile_e=g_tile, with_grad=False, onehot_stream=onehot_stream,
-            n_src_rows=n_nodes_pad)
+            n_src_rows=n_nodes_pad, pad_tiles_to=grad_pad_tiles_to)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
@@ -641,6 +671,29 @@ def onehot_segment_scatter_mono(messages, onehot_t, tile_start, block_of_tile,
             transcendentals=0,
         ),
     )(block_of_tile, tile_start, messages, onehot_t)
+
+
+def layout_for_batch(batch, tile_e: int = 128, with_grad: bool = True
+                     ) -> DeviceScatterLayout:
+    """Static-shape scatter layout for a :class:`~ggnn_tpu.graph.GraphBatch`:
+    tile counts padded to the :func:`static_tile_budget` of the batch's
+    PaddingSpec, so every batch of a training run yields identically-shaped
+    layouts and the jitted train/eval step compiles once (the layout passes
+    through jit ARGUMENTS as a registered pytree)."""
+    spec = batch.spec
+    t2 = 2 * spec.n_edge_types
+    # dst rows pad up to the 128-row block grid; the gather/table space
+    # stays spec.n_pad (it must match h's row count: row = t·n_pad + src)
+    n_dst = _rup_block(spec.n_pad)
+    g_rows = _rup_block(t2 * spec.n_pad)
+    return build_dst_block_layout(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        n_dst, tile_e=tile_e, with_grad=with_grad,
+        n_message_types=t2, n_src_rows=spec.n_pad,
+        pad_tiles_to=static_tile_budget(spec.e_pad, n_dst, tile_e),
+        grad_tile_e=128 if with_grad else None,
+        grad_pad_tiles_to=(static_tile_budget(spec.e_pad, g_rows, 128)
+                           if with_grad else None)).to_device()
 
 
 def build_chunked_dst_layouts(edge_src, edge_dst, edge_type, edge_mask,

@@ -30,7 +30,8 @@ def main(argv=None) -> int:
     ap.add_argument("--n_train", type=int)
     ap.add_argument("--n_test", type=int)
     ap.add_argument("--data_root", type=str)
-    ap.add_argument("--backend", type=str, choices=["xla", "pallas"])
+    ap.add_argument("--backend", type=str,
+                    choices=["xla", "pallas", "onehot"])
     ap.add_argument("--state_dim", type=int, dest="model_state_dim")
     ap.add_argument("--n_steps", type=int, dest="model_n_steps")
     ap.add_argument("--graph_dim", type=int, dest="model_graph_dim",

@@ -28,9 +28,10 @@ from ggnn_tpu.train.metrics import MetricsLogger
 
 def make_train_step(model_cfg, n_graphs: int, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, arrays):
+    def train_step(params, opt_state, arrays, scatter_layout=None):
         def loss_fn(p):
-            return loss_and_metrics(p, model_cfg, arrays, n_graphs)
+            return loss_and_metrics(p, model_cfg, arrays, n_graphs,
+                                    scatter_layout=scatter_layout)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state_new = optimizer.update(grads, opt_state, params)
         params_new = optax.apply_updates(params, updates)
@@ -40,8 +41,9 @@ def make_train_step(model_cfg, n_graphs: int, optimizer):
 
 def make_eval_step(model_cfg, n_graphs: int):
     @jax.jit
-    def eval_step(params, arrays):
-        _, metrics = loss_and_metrics(params, model_cfg, arrays, n_graphs)
+    def eval_step(params, arrays, scatter_layout=None):
+        _, metrics = loss_and_metrics(params, model_cfg, arrays, n_graphs,
+                                      scatter_layout=scatter_layout)
         return metrics
     return eval_step
 
@@ -101,6 +103,14 @@ class Trainer:
         self.step = 0
         self.epoch = 0
 
+    def _layout(self, batch):
+        """Static-budget scatter layout for the onehot backend (shapes are a
+        pure function of the PaddingSpec — the jitted step compiles once)."""
+        if self.cfg.model.backend != "onehot":
+            return None
+        from ggnn_tpu.ops.scatter_pallas import layout_for_batch
+        return layout_for_batch(batch, with_grad=True)
+
     # -- checkpointing ----------------------------------------------------
     def _ckpt_tree(self):
         return {"params": self.params, "opt_state": self.opt_state}
@@ -124,7 +134,8 @@ class Trainer:
         t0 = time.perf_counter()
         for batch in self.train_loader.epoch_batches(self.epoch):
             self.params, self.opt_state, m = self.train_step(
-                self.params, self.opt_state, batch.arrays)
+                self.params, self.opt_state, batch.arrays,
+                self._layout(batch))
             self.step += 1
             edges += float(batch.edge_mask.sum())
             for k in sums:
@@ -141,7 +152,7 @@ class Trainer:
     def evaluate(self) -> dict:
         sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
         for batch in self.test_loader.epoch_batches(0):
-            m = self.eval_step(self.params, batch.arrays)
+            m = self.eval_step(self.params, batch.arrays, self._layout(batch))
             for k in sums:
                 sums[k] += float(m[k])
         n = max(sums["count"], 1.0)
