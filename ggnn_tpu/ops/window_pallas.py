@@ -1,0 +1,377 @@
+"""Block-CSR windowed typed aggregation: the clustered-graph fast path.
+
+The per-edge random gather is ENGINE-rate-bound on TPU (~11.6 ns/row
+measured, independent of dtype, table size, and sort order — see
+docs/DESIGN.md), so the only way past it is to stop issuing per-edge
+addresses.  On graphs with locality (communities / power-law — the
+production regime; uniform random is the adversarial worst case) the
+sources feeding one 128-row destination block concentrate in a few
+``window``-row ranges of the node-transform table.  This module exploits
+that by collapsing BOTH the per-edge gather and the per-edge scatter into
+one count matrix per (dst block, source window) pair:
+
+    C[v, w] = #edges (u → v) with table row t·N+u ≡ win·W + w
+    out[block] = Σ_win C[block, win] · table[win·W : win·W+W]
+
+i.e. a block-sparse SpMM with dense ``[128, W]`` int8 count blocks — pure
+MXU work streamed at HBM bandwidth, NO per-edge random access and no
+per-edge streams at all.  Per tile: W·D·2 B of table + 128·W B of counts;
+FLOPs 2·128·W·D.  For a community graph (communities ≲ W contiguous
+nodes) the whole aggregation runs at ~bandwidth; edges that land in
+low-occupancy tiles (cross-community strays — a dense [128, W] block for
+<~32 edges wastes bandwidth) SPILL to the per-edge one-hot path
+(:mod:`ggnn_tpu.ops.scatter_pallas`), so the structure degrades gracefully
+to the uniform-random baseline.
+
+Replaces (TPU-natively) the reference's dense ``bmm`` aggregation
+(SURVEY.md §3.2) in the clustered-graph regime; parity-tested against the
+XLA segment path on arbitrary topologies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggnn_tpu.ops.scatter_pallas import (BLOCK_N, build_dst_block_layout,
+                                         onehot_segment_scatter_flat)
+
+
+@dataclasses.dataclass
+class DeviceWindowLayout:
+    """Jit-argument form of the windowed layout (registered pytree)."""
+
+    meta: tuple   # (n_nodes_pad, window, n_tiles, n_blocks, spill_meta)
+    arrays: dict  # c_stream, tile_start, block_of_tile, win_of_tile [+ spill]
+
+    @property
+    def n_nodes_pad(self):
+        return self.meta[0]
+
+    @property
+    def window(self):
+        return self.meta[1]
+
+    @property
+    def n_tiles(self):
+        return self.meta[2]
+
+    @property
+    def n_blocks(self):
+        return self.meta[3]
+
+    @property
+    def spill_meta(self):
+        return self.meta[4]
+
+
+jax.tree_util.register_pytree_node(
+    DeviceWindowLayout,
+    lambda l: ((l.arrays,), l.meta),
+    lambda meta, children: DeviceWindowLayout(meta=meta, arrays=children[0]))
+
+
+def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
+                        n_nodes_pad: int, window: int = 512,
+                        min_edges_per_tile: int = 32,
+                        n_src_rows: int | None = None,
+                        spill_tile_e: int = 2048) -> DeviceWindowLayout:
+    """Host-side (numpy) layout build: group real edges by
+    (dst block, table-row window); tiles holding fewer than
+    ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
+    Topology-static — built once per batch, reused across steps/rounds.
+
+    ``stats`` (attached to the returned layout as ``.stats``) reports the
+    tile count, stream bytes, and spill fraction so callers can decide
+    whether the windowed path pays for a given topology."""
+    if n_nodes_pad % BLOCK_N:
+        raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
+    if n_src_rows is None:
+        n_src_rows = n_nodes_pad
+    real = np.asarray(edge_mask) > 0
+    src = np.asarray(edge_src)[real].astype(np.int64)
+    dst = np.asarray(edge_dst)[real].astype(np.int64)
+    typ = np.asarray(edge_type)[real].astype(np.int64)
+    n_edges = src.shape[0]
+
+    rows = typ * n_src_rows + src
+    n_wins = -(-int(typ.max(initial=0) + 1) * n_src_rows // window)
+    win = rows // window
+    block = dst // BLOCK_N
+    n_blocks = n_nodes_pad // BLOCK_N
+    key = block * n_wins + win
+
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    dense = counts >= min_edges_per_tile
+    keep = dense[inv]
+
+    # spill: low-occupancy tiles go to the per-edge one-hot path
+    spill = None
+    spill_frac = 1.0 - (float(keep.sum()) / max(n_edges, 1))
+    if (~keep).any():
+        spill = build_dst_block_layout(
+            src[~keep], dst[~keep], typ[~keep],
+            np.ones(int((~keep).sum()), np.float32), n_nodes_pad,
+            tile_e=spill_tile_e, n_src_rows=n_src_rows)
+
+    # dense tiles (+ one dummy all-zero tile per block so the kernel's
+    # first-tile zero-init covers every output block)
+    key_d = key[keep]
+    dummy = np.arange(n_blocks, dtype=np.int64) * n_wins
+    uniq_t = np.unique(np.concatenate([key_d, dummy]))
+    n_tiles = uniq_t.shape[0]
+    block_of_tile = (uniq_t // n_wins).astype(np.int32)
+    win_of_tile = (uniq_t % n_wins).astype(np.int32)
+    tile_counts = np.bincount(block_of_tile, minlength=n_blocks)
+    tile_start = np.zeros(n_blocks + 1, np.int32)
+    np.cumsum(tile_counts, out=tile_start[1:])
+
+    tile_of_edge = np.searchsorted(uniq_t, key_d)
+    c = np.zeros((n_tiles * BLOCK_N, window), np.int8)
+    np.add.at(c, (tile_of_edge * BLOCK_N + (dst[keep] - block[keep] * BLOCK_N),
+                  rows[keep] % window), 1)
+    if int(c.astype(np.int64).sum()) != int(keep.sum()):
+        raise ValueError("count-matrix overflow: >127 duplicate edges for "
+                         "one (dst, table-row) pair within a tile")
+
+    arrays = {"c_stream": jnp.asarray(c),
+              "tile_start": jnp.asarray(tile_start),
+              "block_of_tile": jnp.asarray(block_of_tile),
+              "win_of_tile": jnp.asarray(win_of_tile)}
+    spill_meta = None
+    if spill is not None:
+        sdev = spill.to_device()
+        for k, v in sdev.arrays.items():
+            arrays["s_" + k] = v
+        spill_meta = sdev.meta
+    lay = DeviceWindowLayout(
+        meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta),
+        arrays=arrays)
+    lay.stats = {
+        "n_tiles": int(n_tiles), "n_edges": int(n_edges),
+        "spill_frac": spill_frac, "window": window,
+        "stream_gb": n_tiles * BLOCK_N * window / 1e9,
+        "table_reads_gb": n_tiles * window * 2 * 1e-9,  # ×D at use time
+    }
+    return lay
+
+
+def _window_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
+                   table_ref, c_ref, out_ref):
+    i = pl.program_id(0)
+    b = block_of_tile_ref[i]
+
+    @pl.when(i == tile_start_ref[b])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    c = c_ref[...].astype(table_ref.dtype)                   # [128, W]
+    out_ref[...] += jnp.dot(c, table_ref[...],
+                            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "window", "interpret"))
+def window_block_spmm(table, c_stream, tile_start, block_of_tile,
+                      win_of_tile, n_blocks: int, window: int,
+                      interpret: bool = False):
+    """out[b·128:(b+1)·128] = Σ_tiles(b) C_tile · table[win·W:(win+1)·W].
+
+    ``table`` rows must be a multiple of ``window`` (pad with zeros)."""
+    R, D = table.shape
+    if R % window:
+        raise ValueError("table rows must be a multiple of window")
+    n_tiles = c_stream.shape[0] // BLOCK_N
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((window, D), lambda i, bt, wt, ts: (wt[i], 0)),
+            pl.BlockSpec((BLOCK_N, window), lambda i, bt, wt, ts: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, D), lambda i, bt, wt, ts: (bt[i], 0)),
+    )
+    return pl.pallas_call(
+        _window_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * BLOCK_N * window * D,
+            bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
+                                      + BLOCK_N * window)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(block_of_tile, win_of_tile, tile_start, table, c_stream)
+
+
+def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
+                        table_hbm, c_hbm, out_hbm, acc, tbl_buf, c_buf,
+                        tbl_sem, c_sem, out_sem, *, window, nbuf,
+                        blocks_per_prog, block_n):
+    """Manual-DMA variant: the automatic pipeline cannot prefetch through
+    the DYNAMIC table-window index map (win_of_tile[i]) — measured ~2.8 us
+    of serialized DMA latency per tile, which dominated the whole step.
+    Here an ``nbuf``-deep ring issues (table-window, count-block) copies
+    ahead of the MXU, with per-dst-block accumulators flushed async (same
+    structure as scatter_pallas._scatter_mono_kernel)."""
+    p = pl.program_id(0)
+    b0 = p * blocks_per_prog
+    t0 = tile_start_ref[b0]
+    t1 = tile_start_ref[b0 + blocks_per_prog]
+
+    def in_dma(slot, t):
+        w = win_of_tile_ref[t]
+        m = pltpu.make_async_copy(
+            table_hbm.at[pl.ds(w * window, window), :],
+            tbl_buf.at[slot], tbl_sem.at[slot])
+        c = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(t * block_n, block_n), :],
+            c_buf.at[slot], c_sem.at[slot])
+        return m, c
+
+    def out_dma(par, blk):
+        return pltpu.make_async_copy(
+            acc.at[par], out_hbm.at[pl.ds(blk * block_n, block_n), :],
+            out_sem.at[par])
+
+    def prolog(k, _):
+        @pl.when(t0 + k < t1)
+        def _():
+            m, c = in_dma(k, t0 + k)
+            m.start()
+            c.start()
+        return 0
+
+    jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, nbuf)
+        blk = block_of_tile_ref[t]
+        par = jax.lax.rem(blk - b0, 2)
+        first = t == tile_start_ref[blk]
+        last = t == tile_start_ref[blk + 1] - 1
+
+        @pl.when(jnp.logical_and(first, blk - b0 >= 2))
+        def _():
+            out_dma(par, blk - 2).wait()
+
+        m, c = in_dma(slot, t)
+        m.wait()
+        c.wait()
+        prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
+                       preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            acc[par] = prod
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc[par] = acc[par] + prod
+
+        @pl.when(t + nbuf < t1)
+        def _():
+            m2, c2 = in_dma(slot, t + nbuf)
+            m2.start()
+            c2.start()
+
+        @pl.when(last)
+        def _():
+            out_dma(par, blk).start()
+
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    last_blk = b0 + blocks_per_prog - 1
+    if blocks_per_prog >= 2:
+        out_dma(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1).wait()
+    out_dma(jax.lax.rem(last_blk - b0, 2), last_blk).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "window", "n_progs", "nbuf",
+                                    "interpret"))
+def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
+                           win_of_tile, n_blocks: int, window: int,
+                           n_progs: int = 1, nbuf: int = 6,
+                           interpret: bool = False):
+    """Manual-DMA-ring variant of :func:`window_block_spmm` (production)."""
+    R, D = table.shape
+    if R % window:
+        raise ValueError("table rows must be a multiple of window")
+    if n_blocks % n_progs:
+        raise ValueError("n_progs must divide n_blocks")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_progs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((nbuf, window, D), table.dtype),
+            pltpu.VMEM((nbuf, BLOCK_N, window), c_stream.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
+                               blocks_per_prog=n_blocks // n_progs,
+                               block_n=BLOCK_N)
+    n_tiles = c_stream.shape[0] // BLOCK_N
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * BLOCK_N * window * D,
+            bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
+                                      + BLOCK_N * window)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(block_of_tile, win_of_tile, tile_start, table, c_stream)
+
+
+def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
+                     interpret: bool | None = None):
+    """Full typed aggregation via the windowed block-CSR path (+ spill).
+
+    a = Σ_tiles C · table_window (+ one-hot scatter of spilled edges);
+    table = einsum(h, W) + b as in :func:`scatter_pallas.aggregate_onehot`.
+    Forward path (bench/inference); training uses the onehot backend."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, D = h.shape
+    transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
+                             preferred_element_type=jnp.float32) \
+        + msg_b[:, None, :]
+    table = transformed.reshape(-1, D).astype(h.dtype)
+    W = layout.window
+    pad = (-table.shape[0]) % W
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+    arrs = layout.arrays
+    out = window_block_spmm_mono(table, arrs["c_stream"], arrs["tile_start"],
+                                 arrs["block_of_tile"], arrs["win_of_tile"],
+                                 n_blocks=layout.n_blocks, window=W,
+                                 interpret=interpret)
+    if layout.spill_meta is not None:
+        _, s_tile_e, _, s_blocks, _, _ = layout.spill_meta
+        msgs = table[arrs["s_gather_idx"]]
+        out = out + onehot_segment_scatter_flat(
+            msgs, arrs["s_onehot"], arrs["s_tile_start"],
+            arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
+            interpret=interpret)
+    return out[:N]

@@ -21,6 +21,7 @@ class TrainConfig:
     model: ModelConfig
     batch_size: int = 10
     lr: float = 1e-3
+    weight_decay: float = 0.0           # >0 switches Adam -> AdamW
     epochs: int = 200
     seed: int = 0
     question_id: Optional[int] = None   # filter for multi-question tasks

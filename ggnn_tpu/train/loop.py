@@ -95,7 +95,8 @@ class Trainer:
                                        shuffle=False)
 
         self.params = init_params(jax.random.PRNGKey(cfg.seed), cfg.model)
-        self.optimizer = optax.adam(cfg.lr)
+        self.optimizer = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+                          if cfg.weight_decay > 0 else optax.adam(cfg.lr))
         self.opt_state = self.optimizer.init(self.params)
         self.train_step = make_train_step(cfg.model, cfg.batch_size,
                                           self.optimizer)

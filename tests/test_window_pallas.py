@@ -1,0 +1,137 @@
+"""Windowed block-CSR aggregation (clustered-graph fast path): parity with
+the XLA segment path on arbitrary topologies, spill handling, and layout
+invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggnn_tpu.models import ModelConfig, init_params
+from ggnn_tpu.ops.segment import typed_aggregate
+from ggnn_tpu.ops.window_pallas import aggregate_window, build_window_layout
+
+
+def random_edges(rng, n_nodes, n_edges, n_types):
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    typ = rng.integers(0, n_types, n_edges).astype(np.int32)
+    mask = np.ones(n_edges, np.float32)
+    mask[rng.random(n_edges) < 0.1] = 0.0
+    return src, dst, typ, mask
+
+
+@pytest.mark.parametrize("min_edges", [1, 4, 10_000])
+def test_window_parity(rng, min_edges):
+    """min_edges=1: everything windowed; 4: mixed window+spill;
+    10000: everything spills — all three must match the XLA path."""
+    N, E, T2, D = 256, 600, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=min_edges, spill_tile_e=8)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_window(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_window_layout_stats(rng):
+    """Community graph: dense tiles capture the intra-community mass and
+    the spill fraction tracks the cross-community rate."""
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    b = synthetic_batch(4096, 40_000, 4, annotation_dim=2, seed=0,
+                        node_mult=128, n_communities=16, p_intra=0.95)
+    lay = build_window_layout(b.edge_src, b.edge_dst, b.edge_type,
+                              b.edge_mask, b.spec.n_pad, window=256,
+                              min_edges_per_tile=8)
+    assert lay.stats["spill_frac"] < 0.25
+    # sparse uniform graph (realistic node/edge ratio): nearly everything
+    # spills — the builder correctly routes it to the per-edge path
+    u = synthetic_batch(32_768, 40_000, 4, annotation_dim=2, seed=0,
+                        node_mult=128)
+    lay_u = build_window_layout(u.edge_src, u.edge_dst, u.edge_type,
+                                u.edge_mask, u.spec.n_pad, window=256,
+                                min_edges_per_tile=8)
+    assert lay_u.stats["spill_frac"] > 0.9
+
+
+def test_window_kernel_variants_agree(rng):
+    """Auto-pipelined and manual-DMA-ring kernels produce identical
+    results (incl. n_progs>1 and bpp=1 edge cases)."""
+    from ggnn_tpu.ops.window_pallas import (window_block_spmm,
+                                            window_block_spmm_mono)
+    N, E, T2, D, W = 512, 900, 4, 16, 64
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=W,
+                              min_edges_per_tile=1)
+    a = lay.arrays
+    R = T2 * N
+    table = jnp.asarray(rng.standard_normal(
+        (R + (-R) % W, D)).astype(np.float32))
+    ref = np.asarray(window_block_spmm(
+        table, a["c_stream"], a["tile_start"], a["block_of_tile"],
+        a["win_of_tile"], n_blocks=lay.n_blocks, window=W, interpret=True))
+    for n_progs, nbuf in ((1, 4), (2, 2), (lay.n_blocks, 3)):
+        got = window_block_spmm_mono(
+            table, a["c_stream"], a["tile_start"], a["block_of_tile"],
+            a["win_of_tile"], n_blocks=lay.n_blocks, window=W,
+            n_progs=n_progs, nbuf=nbuf, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6,
+                                   atol=1e-6, err_msg=f"{n_progs},{nbuf}")
+
+
+def test_propagate_window_backend(rng):
+    """Full T-step propagation with backend='window' matches the XLA path
+    (layout through jit args, mixed window+spill)."""
+    from ggnn_tpu.models import propagate
+    N, E, T2 = 256, 500, 6
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=4, spill_tile_e=8)
+    cfg_x = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                        n_steps=3)
+    cfg_w = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                        n_steps=3, backend="window")
+    params = init_params(jax.random.PRNGKey(4), cfg_x)
+    ann = jnp.asarray((np.random.default_rng(0).random((N, 2)) < 0.5)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+    ref = propagate(params["prop"], cfg_x, *args)
+
+    @jax.jit
+    def run(p, lay, *args):
+        return propagate(p, cfg_w, *args, scatter_layout=lay)
+
+    got = run(params["prop"], lay, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_window_layout_jit_argument(rng):
+    """The layout passes through jit arguments as a pytree (remote-compile
+    payload rule: no big trace constants)."""
+    N, E, T2, D = 256, 400, 4, 16
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=2, spill_tile_e=8)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(3), (N, D))
+
+    @jax.jit
+    def run(h, lay, w, b):
+        return aggregate_window(h, lay, w, b, interpret=True)
+
+    got = run(h, lay, params["prop"]["msg_w"], params["prop"]["msg_b"])
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
