@@ -100,7 +100,8 @@ def main() -> int:
             from ggnn_tpu.ops.window_pallas import build_window_layout
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
-                batch.edge_mask, batch.spec.n_pad, window=args.window)
+                batch.edge_mask, batch.spec.n_pad, window=args.window,
+                n_message_types=2 * args.types)
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":
             from ggnn_tpu.ops.scatter_pallas import (

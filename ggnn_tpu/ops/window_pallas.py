@@ -70,6 +70,10 @@ class DeviceWindowLayout:
     def spill_meta(self):
         return self.meta[4]
 
+    @property
+    def row_major(self):
+        return self.meta[5] if len(self.meta) > 5 else "type"
+
 
 jax.tree_util.register_pytree_node(
     DeviceWindowLayout,
@@ -81,17 +85,29 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         n_nodes_pad: int, window: int = 512,
                         min_edges_per_tile: int = 32,
                         n_src_rows: int | None = None,
-                        spill_tile_e: int = 2048) -> DeviceWindowLayout:
+                        spill_tile_e: int | None = None,
+                        n_message_types: int | None = None,
+                        row_major: str = "src") -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
     Topology-static — built once per batch, reused across steps/rounds.
+
+    ``row_major`` picks the node-transform table layout:
+    - ``'src'`` (default): row = src·T2 + t  (einsum ``nd,tdf->ntf``) —
+      a community's rows across ALL message types are contiguous, so one
+      window of ``csize·T2`` rows covers a dst block's whole in-edge set:
+      ~T2× fewer, bigger tiles than type-major (amortizes per-tile cost).
+    - ``'type'``: row = t·N + src (the gather-table layout of
+      :mod:`scatter_pallas`) — smaller windows when types are sparse.
 
     ``stats`` (attached to the returned layout as ``.stats``) reports the
     tile count, stream bytes, and spill fraction so callers can decide
     whether the windowed path pays for a given topology."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
+    if row_major not in ("src", "type"):
+        raise ValueError(f"row_major must be 'src' or 'type': {row_major!r}")
     if n_src_rows is None:
         n_src_rows = n_nodes_pad
     real = np.asarray(edge_mask) > 0
@@ -100,8 +116,13 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     typ = np.asarray(edge_type)[real].astype(np.int64)
     n_edges = src.shape[0]
 
-    rows = typ * n_src_rows + src
-    n_wins = -(-int(typ.max(initial=0) + 1) * n_src_rows // window)
+    t2 = (n_message_types if n_message_types is not None
+          else int(typ.max(initial=0)) + 1)
+    if row_major == "src":
+        rows = src * t2 + typ
+    else:
+        rows = typ * n_src_rows + src
+    n_wins = -(-t2 * n_src_rows // window)
     win = rows // window
     block = dst // BLOCK_N
     n_blocks = n_nodes_pad // BLOCK_N
@@ -116,10 +137,22 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     spill = None
     spill_frac = 1.0 - (float(keep.sum()) / max(n_edges, 1))
     if (~keep).any():
+        n_spill = int((~keep).sum())
+        if spill_tile_e is None:
+            # size the spill tile to the spill DENSITY: a fixed 2048 pads
+            # every dst block to >=2048 slots, and the spill gather then
+            # reads millions of padding rows at the full ~11.6 ns/row
+            # engine cost (measured: 49 ms of a 88 ms aggregation)
+            avg = max(1, n_spill // (n_nodes_pad // BLOCK_N))
+            spill_tile_e = 128
+            while spill_tile_e < min(avg, 2048):
+                spill_tile_e *= 2
+        # spilled edges gather from the SAME table the windows read — pass
+        # the precomputed row index directly (edge_type=0, n_src_rows=R)
         spill = build_dst_block_layout(
-            src[~keep], dst[~keep], typ[~keep],
-            np.ones(int((~keep).sum()), np.float32), n_nodes_pad,
-            tile_e=spill_tile_e, n_src_rows=n_src_rows)
+            rows[~keep], dst[~keep], np.zeros(n_spill, np.int64),
+            np.ones(n_spill, np.float32), n_nodes_pad,
+            tile_e=spill_tile_e, n_src_rows=t2 * n_src_rows)
 
     # dense tiles (+ one dummy all-zero tile per block so the kernel's
     # first-tile zero-init covers every output block)
@@ -152,13 +185,15 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             arrays["s_" + k] = v
         spill_meta = sdev.meta
     lay = DeviceWindowLayout(
-        meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta),
+        meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major),
         arrays=arrays)
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
         "spill_frac": spill_frac, "window": window,
         "stream_gb": n_tiles * BLOCK_N * window / 1e9,
         "table_reads_gb": n_tiles * window * 2 * 1e-9,  # ×D at use time
+        "spill_pack": (int(spill.gather_idx.shape[0])
+                       if spill is not None else 0),
     }
     return lay
 
@@ -354,9 +389,14 @@ def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, D = h.shape
-    transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
-                             preferred_element_type=jnp.float32) \
-        + msg_b[:, None, :]
+    if layout.row_major == "src":
+        transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
+                                 preferred_element_type=jnp.float32) \
+            + msg_b[None, :, :]
+    else:
+        transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
+                                 preferred_element_type=jnp.float32) \
+            + msg_b[:, None, :]
     table = transformed.reshape(-1, D).astype(h.dtype)
     W = layout.window
     pad = (-table.shape[0]) % W

@@ -71,7 +71,10 @@ CONFIGS: dict[str, Callable[[], TrainConfig]] = {
     # D=6/T=5 measured best over 10 folds (0.986 mean); deeper/wider
     # variants overfit the 50-example training sets of this (harder than
     # paper) generated variant
-    "babi18": _babi("babi18", 18, state_dim=6, epochs=300),
+    # lr 5e-4/600 epochs: 0.9877±0.013 over 10 folds (vs 0.9857±0.020 at
+    # 1e-3/300; residual errors are the same hard test examples across all
+    # converged settings — data hardness, not optimization)
+    "babi18": _babi("babi18", 18, state_dim=6, epochs=600, lr=5e-4),
     # BASELINE.json:10 — task 19, GGS-NN sequential output, hardest task
     "babi19": _babi("babi19", 19, state_dim=16, epochs=400, n_train=250,
                     lr=1e-3),

@@ -57,11 +57,13 @@ def main():
     n_tiles = lay.n_tiles
 
     def chain_factory(kernel_call):
+        # layout arrays flow through jit ARGUMENTS (closure constants bake
+        # gigabytes into the compile payload — the remote-compile trap)
         @functools.partial(jax.jit, static_argnames=("k",))
-        def chain(table, k):
+        def chain(table, arrs, k):
             def body(i, carry):
                 tbl, tot = carry
-                out = kernel_call(tbl)
+                out = kernel_call(tbl, arrs)
                 s = out[0, 0]
                 tbl = tbl.at[0, 0].set(tbl[0, 0]
                                        + (1e-30 * s).astype(tbl.dtype))
@@ -72,24 +74,26 @@ def main():
 
     def diff(tag, kernel_call):
         ch = chain_factory(kernel_call)
-        t1 = timeit(lambda: float(ch(table, k=1)), tag=f"{tag} k=1")
-        t9 = timeit(lambda: float(ch(table, k=9)), tag=f"{tag} k=9")
+        t1 = timeit(lambda: float(ch(table, a, k=1)), tag=f"{tag} k=1")
+        t9 = timeit(lambda: float(ch(table, a, k=9)), tag=f"{tag} k=9")
         per = (t9 - t1) / 8
         print(f"  => {tag}: {per * 1e3:.2f} ms "
               f"({per / n_tiles * 1e9:.0f} ns/tile)", flush=True)
 
     for n_progs, nbuf in ((1, 6), (1, 12), (8, 6), (16, 4)):
         diff(f"mono np={n_progs} nbuf={nbuf}",
-             lambda tbl, n_progs=n_progs, nbuf=nbuf:
+             lambda tbl, arrs, n_progs=n_progs, nbuf=nbuf:
              wp.window_block_spmm_mono(
-                 tbl, a["c_stream"], a["tile_start"], a["block_of_tile"],
-                 a["win_of_tile"], n_blocks=lay.n_blocks, window=W,
+                 tbl, arrs["c_stream"], arrs["tile_start"],
+                 arrs["block_of_tile"], arrs["win_of_tile"],
+                 n_blocks=lay.n_blocks, window=W,
                  n_progs=n_progs, nbuf=nbuf))
 
     diff("auto-pipelined",
-         lambda tbl: wp.window_block_spmm(
-             tbl, a["c_stream"], a["tile_start"], a["block_of_tile"],
-             a["win_of_tile"], n_blocks=lay.n_blocks, window=W))
+         lambda tbl, arrs: wp.window_block_spmm(
+             tbl, arrs["c_stream"], arrs["tile_start"],
+             arrs["block_of_tile"], arrs["win_of_tile"],
+             n_blocks=lay.n_blocks, window=W))
 
     # full aggregation (einsum + kernel + spill path)
     from ggnn_tpu.models import ModelConfig, init_params

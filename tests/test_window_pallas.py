@@ -22,13 +22,15 @@ def random_edges(rng, n_nodes, n_edges, n_types):
 
 
 @pytest.mark.parametrize("min_edges", [1, 4, 10_000])
-def test_window_parity(rng, min_edges):
+@pytest.mark.parametrize("row_major", ["src", "type"])
+def test_window_parity(rng, min_edges, row_major):
     """min_edges=1: everything windowed; 4: mixed window+spill;
     10000: everything spills — all three must match the XLA path."""
     N, E, T2, D = 256, 600, 6, 32
     src, dst, typ, mask = random_edges(rng, N, E, T2)
     lay = build_window_layout(src, dst, typ, mask, N, window=64,
-                              min_edges_per_tile=min_edges, spill_tile_e=8)
+                              min_edges_per_tile=min_edges, spill_tile_e=8,
+                              n_message_types=T2, row_major=row_major)
     cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
     params = init_params(jax.random.PRNGKey(0), cfg)
     h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
