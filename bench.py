@@ -93,15 +93,12 @@ def main() -> int:
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "window":
-            if args.mode == "train":
-                raise NotImplementedError(
-                    "window backend is forward-path (bench/inference); "
-                    "training uses onehot")
             from ggnn_tpu.ops.window_pallas import build_window_layout
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
-                n_message_types=2 * args.types)
+                n_message_types=2 * args.types,
+                with_grad=(args.mode == "train"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":
             from ggnn_tpu.ops.scatter_pallas import (

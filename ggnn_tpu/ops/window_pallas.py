@@ -74,6 +74,10 @@ class DeviceWindowLayout:
     def row_major(self):
         return self.meta[5] if len(self.meta) > 5 else "type"
 
+    @property
+    def grad_meta(self):
+        return self.meta[6] if len(self.meta) > 6 else None
+
 
 jax.tree_util.register_pytree_node(
     DeviceWindowLayout,
@@ -87,7 +91,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         n_src_rows: int | None = None,
                         spill_tile_e: int | None = None,
                         n_message_types: int | None = None,
-                        row_major: str = "src") -> DeviceWindowLayout:
+                        row_major: str = "src",
+                        with_grad: bool = False) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -184,8 +189,32 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         for k, v in sdev.arrays.items():
             arrays["s_" + k] = v
         spill_meta = sdev.meta
+    grad_meta = None
+    if with_grad:
+        # transposed tiles for the backward pass Y = Cᵀ·da: out blocks are
+        # W-row table ranges (every window gets ≥1 tile so its Y rows are
+        # initialized), input blocks are the 128-row dst blocks of da
+        key_t = win[keep] * n_blocks + block[keep]
+        uniq_gt = np.unique(np.concatenate(
+            [key_t, np.arange(n_wins, dtype=np.int64) * n_blocks]))
+        n_gt = uniq_gt.shape[0]
+        gt_block = (uniq_gt // n_blocks).astype(np.int32)   # out: window idx
+        gt_win = (uniq_gt % n_blocks).astype(np.int32)      # in: dst block
+        gt_counts = np.bincount(gt_block, minlength=n_wins)
+        gt_start = np.zeros(n_wins + 1, np.int32)
+        np.cumsum(gt_counts, out=gt_start[1:])
+        gt_of_edge = np.searchsorted(uniq_gt, key_t)
+        ct = np.zeros((n_gt * window, BLOCK_N), np.int8)
+        np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
+                       dst[keep] - block[keep] * BLOCK_N), 1)
+        arrays.update(ct_stream=jnp.asarray(ct),
+                      gt_tile_start=jnp.asarray(gt_start),
+                      gt_block_of_tile=jnp.asarray(gt_block),
+                      gt_win_of_tile=jnp.asarray(gt_win))
+        grad_meta = (n_wins, int(n_gt))
     lay = DeviceWindowLayout(
-        meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major),
+        meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
+              grad_meta),
         arrays=arrays)
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
@@ -334,12 +363,18 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
-                                    "interpret"))
+                                    "out_rows", "interpret"))
 def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                            win_of_tile, n_blocks: int, window: int,
                            n_progs: int = 1, nbuf: int = 6,
+                           out_rows: int = BLOCK_N,
                            interpret: bool = False):
-    """Manual-DMA-ring variant of :func:`window_block_spmm` (production)."""
+    """Manual-DMA-ring variant of :func:`window_block_spmm` (production).
+
+    ``out_rows`` generalizes the output-block height so the SAME kernel
+    serves the transposed (backward) pass with roles swapped: out blocks =
+    ``window``-row table ranges, input blocks = 128 cotangent rows, and
+    the count stream transposed (pass window=128, out_rows=W)."""
     R, D = table.shape
     if R % window:
         raise ValueError("table rows must be a multiple of window")
@@ -352,9 +387,9 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((2, out_rows, D), jnp.float32),
             pltpu.VMEM((nbuf, window, D), table.dtype),
-            pltpu.VMEM((nbuf, BLOCK_N, window), c_stream.dtype),
+            pltpu.VMEM((nbuf, out_rows, window), c_stream.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -362,18 +397,18 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     )
     kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
-                               block_n=BLOCK_N)
-    n_tiles = c_stream.shape[0] // BLOCK_N
+                               block_n=out_rows)
+    n_tiles = c_stream.shape[0] // out_rows
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * out_rows, D), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * BLOCK_N * window * D,
+            flops=2 * n_tiles * out_rows * window * D,
             bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
-                                      + BLOCK_N * window)
-            + n_blocks * BLOCK_N * D * 4,
+                                      + out_rows * window)
+            + n_blocks * out_rows * D * 4,
             transcendentals=0,
         ),
     )(block_of_tile, win_of_tile, tile_start, table, c_stream)
@@ -385,11 +420,19 @@ def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
 
     a = Σ_tiles C · table_window (+ one-hot scatter of spilled edges);
     table = einsum(h, W) + b as in :func:`scatter_pallas.aggregate_onehot`.
-    Forward path (bench/inference); training uses the onehot backend."""
+    Differentiable when the layout was built ``with_grad=True`` (the
+    backward typed scatter Y = Cᵀ·ā rides the SAME mono kernel with roles
+    swapped; spilled edges fall back to XLA segment_sum)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _aggregate_window(layout.meta, interpret, layout.arrays, h,
+                             msg_w, msg_b)
+
+
+def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
+    n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _ = meta
     N, D = h.shape
-    if layout.row_major == "src":
+    if row_major == "src":
         transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
                                  preferred_element_type=jnp.float32) \
             + msg_b[None, :, :]
@@ -398,20 +441,76 @@ def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
                                  preferred_element_type=jnp.float32) \
             + msg_b[:, None, :]
     table = transformed.reshape(-1, D).astype(h.dtype)
-    W = layout.window
     pad = (-table.shape[0]) % W
     if pad:
         table = jnp.pad(table, ((0, pad), (0, 0)))
-    arrs = layout.arrays
     out = window_block_spmm_mono(table, arrs["c_stream"], arrs["tile_start"],
                                  arrs["block_of_tile"], arrs["win_of_tile"],
-                                 n_blocks=layout.n_blocks, window=W,
+                                 n_blocks=n_blocks, window=W,
                                  interpret=interpret)
-    if layout.spill_meta is not None:
-        _, s_tile_e, _, s_blocks, _, _ = layout.spill_meta
+    if spill_meta is not None:
+        _, s_tile_e, _, s_blocks, _, _ = spill_meta
         msgs = table[arrs["s_gather_idx"]]
         out = out + onehot_segment_scatter_flat(
             msgs, arrs["s_onehot"], arrs["s_tile_start"],
             arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
             interpret=interpret)
     return out[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _aggregate_window(meta, interpret, arrs, h, msg_w, msg_b):
+    return _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b)
+
+
+def _aggregate_window_fwd(meta, interpret, arrs, h, msg_w, msg_b):
+    return _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b), \
+        (arrs, h, msg_w)
+
+
+def _aggregate_window_bwd(meta, interpret, res, da):
+    arrs, h, msg_w = res
+    n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, grad_meta = meta
+    if grad_meta is None:
+        raise ValueError("aggregate_window backward needs a layout built "
+                         "with_grad=True")
+    n_wins, _ = grad_meta
+    N, D = h.shape
+    T2 = msg_w.shape[0]
+    R = T2 * N
+    da_pad = jnp.pad(da.astype(h.dtype),
+                     ((0, n_blocks * BLOCK_N - da.shape[0]), (0, 0)))
+    # Y[row] = Σ_{(u,t,v)} ā_v over windowed edges: the same mono kernel,
+    # transposed roles (out blocks = W table rows, inputs = 128-row ā blocks)
+    Y = window_block_spmm_mono(
+        da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
+        arrs["gt_block_of_tile"], arrs["gt_win_of_tile"], n_blocks=n_wins,
+        window=BLOCK_N, out_rows=W, interpret=interpret)[:R]
+    if spill_meta is not None:
+        mask = arrs["s_dst_global"] >= 0
+        G = da[jnp.clip(arrs["s_dst_global"], 0, da.shape[0] - 1)] \
+            * mask[:, None]
+        # route padding rows OUT of range (dropped) — scattering them all
+        # into segment 0 would serialize a 100k-long collision chain
+        ids = jnp.where(mask, arrs["s_gather_idx"], R)
+        Y = Y + jax.ops.segment_sum(G, ids, num_segments=R)
+    if row_major == "src":
+        Yr = Y.reshape(N, T2, D)
+        dh = jnp.einsum("ntf,tdf->nd", Yr, msg_w,
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        dW = jnp.einsum("nd,ntf->tdf", h, Yr,
+                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
+        db = jnp.sum(Yr, axis=0).astype(msg_w.dtype)
+    else:
+        Yr = Y.reshape(T2, N, D)
+        dh = jnp.einsum("tnf,tdf->nd", Yr, msg_w,
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        dW = jnp.einsum("nd,tnf->tdf", h, Yr,
+                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
+        db = jnp.sum(Yr, axis=1).astype(msg_w.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
+    return d_arrs, dh, dW, db
+
+
+_aggregate_window.defvjp(_aggregate_window_fwd, _aggregate_window_bwd)

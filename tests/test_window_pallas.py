@@ -116,6 +116,70 @@ def test_propagate_window_backend(rng):
                                rtol=3e-5, atol=3e-6)
 
 
+@pytest.mark.parametrize("row_major", ["src", "type"])
+def test_window_grad_parity(rng, row_major):
+    """jax.grad through aggregate_window (with_grad layout: transposed
+    mono kernel + XLA spill fallback) matches the XLA segment path."""
+    N, E, T2, D = 256, 600, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=4, spill_tile_e=8,
+                              n_message_types=T2, row_major=row_major,
+                              with_grad=True)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    w, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+    def loss_ref(h, w, b):
+        out = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                              jnp.asarray(typ), jnp.asarray(mask), w, b)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_win(h, w, b):
+        out = aggregate_window(h, lay, w, b, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    g_win = jax.grad(loss_win, argnums=(0, 1, 2))(h, w, b)
+    for a, c, name in zip(g_win, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_window_backend_train_step(rng):
+    """End-to-end: jitted value_and_grad through propagate backend='window'
+    (scan over T steps, layout through jit args) matches the XLA backend."""
+    N, E, T2 = 256, 500, 6
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=4, spill_tile_e=8,
+                              n_message_types=T2, with_grad=True)
+    from ggnn_tpu.models import propagate
+    mk = dict(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=3)
+    params = init_params(jax.random.PRNGKey(4), ModelConfig(**mk))
+    ann = jnp.asarray((np.random.default_rng(1).random((N, 2)) < 0.5)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+
+    def grads(backend, lay=None):
+        cfg = ModelConfig(**mk, backend=backend)
+
+        @jax.jit
+        def loss(p, lay, *args):
+            h = propagate(p, cfg, *args, scatter_layout=lay)
+            return jnp.sum(h * h)
+
+        return jax.grad(loss)(params["prop"], lay, *args)
+
+    g_ref = grads("xla")
+    g_win = grads("window", lay)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=3e-4, atol=3e-5), g_win, g_ref)
+
+
 def test_window_layout_jit_argument(rng):
     """The layout passes through jit arguments as a pytree (remote-compile
     payload rule: no big trace constants)."""
