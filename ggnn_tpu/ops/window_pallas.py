@@ -211,6 +211,17 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                       gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
                       gt_win_of_tile=jnp.asarray(gt_win))
+        if spill is not None:
+            # spill backward: REAL edges only (no packed padding), sorted
+            # by gather row so the XLA scatter takes the sorted fast path
+            # (unsorted into 4.2M segments measured 84 ns/row — 44 ms of
+            # an 81 ms backward)
+            sp_rows = rows[~keep]
+            sp_dst = dst[~keep]
+            order = np.argsort(sp_rows, kind="stable")
+            arrays["s_bwd_ids"] = jnp.asarray(
+                sp_rows[order].astype(np.int32))
+            arrays["s_bwd_dst"] = jnp.asarray(sp_dst[order].astype(np.int32))
         grad_meta = (n_wins, int(n_gt))
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
@@ -487,13 +498,10 @@ def _aggregate_window_bwd(meta, interpret, res, da):
         arrs["gt_block_of_tile"], arrs["gt_win_of_tile"], n_blocks=n_wins,
         window=BLOCK_N, out_rows=W, interpret=interpret)[:R]
     if spill_meta is not None:
-        mask = arrs["s_dst_global"] >= 0
-        G = da[jnp.clip(arrs["s_dst_global"], 0, da.shape[0] - 1)] \
-            * mask[:, None]
-        # route padding rows OUT of range (dropped) — scattering them all
-        # into segment 0 would serialize a 100k-long collision chain
-        ids = jnp.where(mask, arrs["s_gather_idx"], R)
-        Y = Y + jax.ops.segment_sum(G, ids, num_segments=R)
+        # real spill edges only, pre-sorted by gather row (sorted scatter)
+        G = da[arrs["s_bwd_dst"]]
+        Y = Y + jax.ops.segment_sum(G, arrs["s_bwd_ids"], num_segments=R,
+                                    indices_are_sorted=True)
     if row_major == "src":
         Yr = Y.reshape(N, T2, D)
         dh = jnp.einsum("ntf,tdf->nd", Yr, msg_w,
