@@ -28,7 +28,8 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--strategy", type=str, default="halo_onehot",
-                    choices=["halo", "all_gather", "halo_onehot", "halo_overlap"])
+                    choices=["halo", "all_gather", "halo_onehot", "halo_overlap",
+                             "halo_window"])
     ap.add_argument("--shards", type=int, nargs="*", default=None,
                     help="shard counts to test (default: 1..device_count)")
     ap.add_argument("--communities", type=int, default=0,
@@ -69,13 +70,16 @@ def main() -> int:
     for P in shard_counts:
         mesh = make_mesh(n_graph=P, n_data=1)
         parts = partition_batch(batch, P)
-        if args.strategy == "halo_overlap":
+        if args.strategy in ("halo_overlap", "halo_window"):
             from ggnn_tpu.parallel.partition import split_local_remote
             parts = split_local_remote(parts)  # host-side, before jit
         lay = None
         if args.strategy == "halo_onehot":
             from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
             lay = build_halo_scatter_layouts(parts, tile_e=512)
+        elif args.strategy == "halo_window":
+            from ggnn_tpu.parallel.partition import build_halo_window_layouts
+            lay = build_halo_window_layouts(parts)
         lay_meta = lay[1] if lay else None
 
         # parts/layout arrays flow through jit ARGUMENTS (closure constants

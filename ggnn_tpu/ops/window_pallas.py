@@ -92,7 +92,10 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         spill_tile_e: int | None = None,
                         n_message_types: int | None = None,
                         row_major: str = "src",
-                        with_grad: bool = False) -> DeviceWindowLayout:
+                        with_grad: bool = False,
+                        pad_tiles_to: int | None = None,
+                        spill_pad_tiles_to: int | None = None,
+                        force_spill: bool = False) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -141,7 +144,7 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     # spill: low-occupancy tiles go to the per-edge one-hot path
     spill = None
     spill_frac = 1.0 - (float(keep.sum()) / max(n_edges, 1))
-    if (~keep).any():
+    if (~keep).any() or force_spill:
         n_spill = int((~keep).sum())
         if spill_tile_e is None:
             # size the spill tile to the spill DENSITY: a fixed 2048 pads
@@ -157,7 +160,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         spill = build_dst_block_layout(
             rows[~keep], dst[~keep], np.zeros(n_spill, np.int64),
             np.ones(n_spill, np.float32), n_nodes_pad,
-            tile_e=spill_tile_e, n_src_rows=t2 * n_src_rows)
+            tile_e=spill_tile_e, n_src_rows=t2 * n_src_rows,
+            pad_tiles_to=spill_pad_tiles_to)
 
     # dense tiles (+ one dummy all-zero tile per block so the kernel's
     # first-tile zero-init covers every output block)
@@ -170,6 +174,21 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     tile_counts = np.bincount(block_of_tile, minlength=n_blocks)
     tile_start = np.zeros(n_blocks + 1, np.int32)
     np.cumsum(tile_counts, out=tile_start[1:])
+
+    if pad_tiles_to is not None:
+        # append all-zero tiles to the LAST block (stacking layouts of
+        # different topologies — e.g. per-shard — to equal shapes)
+        extra = pad_tiles_to - n_tiles
+        if extra < 0:
+            raise ValueError(f"pad_tiles_to={pad_tiles_to} < {n_tiles}")
+        if extra:
+            block_of_tile = np.concatenate(
+                [block_of_tile,
+                 np.full(extra, n_blocks - 1, np.int32)])
+            win_of_tile = np.concatenate(
+                [win_of_tile, np.zeros(extra, np.int32)])
+            tile_start[-1] += extra
+            n_tiles = pad_tiles_to
 
     tile_of_edge = np.searchsorted(uniq_t, key_d)
     c = np.zeros((n_tiles * BLOCK_N, window), np.int8)

@@ -1,6 +1,6 @@
 """Sharded propagation over the 'graph' mesh axis (SURVEY.md §5.7-5.8).
 
-Three strategies, all pure-XLA collectives inside ``shard_map`` (compiled
+Five strategies, all pure-XLA collectives inside ``shard_map`` (compiled
 onto ICI within a slice / DCN across slices — no custom transport,
 SURVEY.md §5.8); halo states travel in the compute dtype (bf16 halves the
 exchange bytes):
@@ -19,6 +19,10 @@ exchange bytes):
   dataflow-independent.
 - ``halo_onehot`` — the halo plan plus per-shard one-hot MXU scatter
   kernels (the production large-graph path; ``n_local % 128 == 0``).
+- ``halo_window`` — the halo_overlap local/remote split with the
+  intra-shard edges aggregated by the block-CSR windowed kernel
+  (ops/window_pallas.py): community-partitioned shards do their local
+  work with NO per-edge random access, and the all-to-all overlaps it.
 
 The T-step recurrence stays a single ``lax.scan`` inside one ``shard_map``
 — node states never leave their shard; only halo states move.
@@ -52,9 +56,11 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     - ``halo_onehot``: halo all-to-all + per-shard one-hot MXU scatter
       kernels (ops/scatter_pallas.py) — the production large-graph path;
       needs ``n_local % 128 == 0``."""
-    if strategy not in ("halo", "all_gather", "halo_onehot", "halo_overlap"):
+    if strategy not in ("halo", "all_gather", "halo_onehot", "halo_overlap",
+                        "halo_window"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy == "halo_overlap" and parts.local_edges is None:
+    if strategy in ("halo_overlap", "halo_window") \
+            and parts.local_edges is None:
         if isinstance(parts.edge_src_global, jax.core.Tracer):
             raise ValueError(
                 "halo_overlap under jit needs split_local_remote(parts) "
@@ -79,9 +85,15 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                 parts, tile_e=scatter_tile_e)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+    if strategy == "halo_window":
+        if lay_arrays is None:
+            from ggnn_tpu.parallel.partition import build_halo_window_layouts
+            lay_arrays, lay_meta = build_halo_window_layouts(parts)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
 
     def body(prop, ann, src_g, src_h, dst_l, etype, emask, send_idx,
-             gidx, onehot, tstart, btile, loc, rem):
+             gidx, onehot, tstart, btile, loc, rem, warr):
         # shapes inside: ann [1, n_local, A], edges [1, E_l],
         # send_idx [1, P, H] (this shard's owner-row of the send plan)
         ann = ann[0]
@@ -115,7 +127,24 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
             else:
                 h_src_pool = exchange(h_local)
                 src_idx = src_h
-            if strategy == "halo_overlap":
+            if strategy == "halo_window":
+                # intra-shard edges through the block-CSR windowed kernel
+                # (no per-edge random access; reads h_local only, so the
+                # all-to-all overlaps it); remote edges via the halo pool
+                from ggnn_tpu.ops.window_pallas import (DeviceWindowLayout,
+                                                        aggregate_window)
+                wlay = DeviceWindowLayout(
+                    meta=lay_meta["full_meta"],
+                    arrays={k: v[0] for k, v in warr.items()})
+                a_loc = aggregate_window(
+                    h_local.astype(cdt), wlay, prop["msg_w"].astype(cdt),
+                    prop["msg_b"].astype(cdt), interpret=interpret)
+                a_rem = typed_aggregate(
+                    h_src_pool, rem["src"][0], rem["dst"][0], rem["type"][0],
+                    rem["mask"][0], prop["msg_w"], prop["msg_b"],
+                    strategy=cfg.agg_strategy)[:n_local]
+                a = a_loc + a_rem
+            elif strategy == "halo_overlap":
                 # SURVEY.md §5.7: local-edge aggregation reads h_local only
                 # — no dependency on the all-to-all, so XLA overlaps them
                 a_loc = typed_aggregate(
@@ -158,26 +187,28 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name)),
+                  P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
         check_vma=False,
     )
-    if lay_arrays is None:
-        z = np.zeros((parts.n_shards, 1), np.int32)
-        gidx = oh = ts = bt = z
-    else:
+    if strategy == "halo_onehot":
         gidx = lay_arrays["gather_idx"]
         oh = lay_arrays["onehot"]
         ts = lay_arrays["tile_start"]
         bt = lay_arrays["block_of_tile"]
+    else:
+        z = np.zeros((parts.n_shards, 1), np.int32)
+        gidx = oh = ts = bt = z
     zdict = {"src": np.zeros((parts.n_shards, 1), np.int32),
              "dst": np.zeros((parts.n_shards, 1), np.int32),
              "type": np.zeros((parts.n_shards, 1), np.int32),
              "mask": np.zeros((parts.n_shards, 1), np.float32)}
+    overlap = strategy in ("halo_overlap", "halo_window")
     loc = parts.local_edges if strategy == "halo_overlap" else zdict
-    rem = parts.remote_edges if strategy == "halo_overlap" else zdict
+    rem = parts.remote_edges if overlap else zdict
+    warr = lay_arrays if strategy == "halo_window" else {}
     h = shard(prop, parts.annotations, parts.edge_src_global,
               parts.edge_src_halo, parts.edge_dst_local, parts.edge_type,
               parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt,
-              loc, rem)
+              loc, rem, warr)
     return h.reshape(-1, cfg.state_dim)

@@ -278,3 +278,54 @@ def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
     meta = {"tile_e": tile_e, "n_blocks": n_blocks, "n_tiles": n_tiles,
             "halo_rows": P * H + n_local}
     return arrays, meta
+
+
+def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
+                              min_edges_per_tile: int = 32,
+                              spill_tile_e: int = 512,
+                              n_message_types: int | None = None):
+    """Per-shard WINDOWED layouts over the shard-LOCAL edges for the
+    'halo_window' strategy: community-partitioned shards aggregate their
+    intra-shard edges through the block-CSR windowed kernel
+    (ops/window_pallas.py — no per-edge random access), while remote edges
+    ride the halo receive buffer through the typed-aggregate path.  Like
+    the halo_overlap split, the local aggregation reads h_local only, so
+    XLA overlaps it with the all-to-all.
+
+    Returns (stacked_arrays: dict of [P, ...] arrays, meta: dict) — all
+    shards padded to common static shapes (tile counts and spill packs)."""
+    from ggnn_tpu.ops.scatter_pallas import BLOCK_N
+    from ggnn_tpu.ops.window_pallas import build_window_layout
+
+    if parts.local_edges is None:
+        raise ValueError("call split_local_remote(parts) first")
+    P, n_local = parts.n_shards, parts.n_local
+    if n_local % BLOCK_N:
+        raise ValueError(
+            f"halo_window needs n_local % {BLOCK_N} == 0, got {n_local}")
+    loc = parts.local_edges
+    if n_message_types is None:
+        n_message_types = int(max(
+            int(parts.edge_type[s].max(initial=0)) for s in range(P))) + 1
+
+    def build(s, pad=None, spad=None):
+        return build_window_layout(
+            loc["src"][s], loc["dst"][s], loc["type"][s], loc["mask"][s],
+            n_local, window=window, min_edges_per_tile=min_edges_per_tile,
+            spill_tile_e=spill_tile_e, n_message_types=n_message_types,
+            row_major="src", pad_tiles_to=pad, spill_pad_tiles_to=spad,
+            force_spill=True)
+
+    first = [build(s) for s in range(P)]
+    n_tiles = max(l.n_tiles for l in first)
+    sp_tiles = max(l.arrays["s_block_of_tile"].shape[0] for l in first)
+    lays = [build(s, pad=n_tiles, spad=sp_tiles) for s in range(P)]
+    arrays = {k: np.stack([np.asarray(l.arrays[k]) for l in lays])
+              for k in lays[0].arrays}
+    # per-shard metas agree on everything the flat/mono kernels read
+    # (max_tiles may differ — unused); shard 0's meta is canonical
+    meta = {"full_meta": lays[0].meta, "window": window,
+            "n_tiles": n_tiles,
+            "spill_frac": float(np.mean([l.stats["spill_frac"]
+                                         for l in first]))}
+    return arrays, meta

@@ -100,3 +100,24 @@ def test_sharded_propagate_other_shard_counts(rng, n_shards):
     got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
                                        strategy="halo"))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_propagate_halo_window(rng):
+    """halo_window: per-shard windowed block-CSR local aggregation +
+    typed halo-pool remote aggregation matches the single-device path
+    (community graph partitioned along community boundaries)."""
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel.partition import split_local_remote
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=3,
+                        node_mult=1024, n_communities=8, p_intra=0.9)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    ref = np.asarray(propagate(
+        params["prop"], cfg, b.annotations, b.edge_src, b.edge_dst,
+        b.edge_type, b.edge_mask))
+    mesh = make_mesh(n_graph=8)
+    parts = split_local_remote(partition_batch(b, 8))
+    got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
+                                       strategy="halo_window"))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
