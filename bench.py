@@ -53,6 +53,9 @@ def build_args():
                     help="intra-community edge probability")
     ap.add_argument("--window", type=int, default=512,
                     help="table-row window for backend=window")
+    ap.add_argument("--block_rows", type=int, default=128,
+                    help="dst rows per window tile (multiples of 128 "
+                         "amortize table re-reads across a community)")
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="bfloat16",
@@ -97,7 +100,7 @@ def main() -> int:
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
-                n_message_types=2 * args.types,
+                n_message_types=2 * args.types, block_rows=args.block_rows,
                 with_grad=(args.mode == "train"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":

@@ -78,6 +78,10 @@ class DeviceWindowLayout:
     def grad_meta(self):
         return self.meta[6] if len(self.meta) > 6 else None
 
+    @property
+    def block_rows(self):
+        return self.meta[7] if len(self.meta) > 7 else BLOCK_N
+
 
 jax.tree_util.register_pytree_node(
     DeviceWindowLayout,
@@ -95,7 +99,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         with_grad: bool = False,
                         pad_tiles_to: int | None = None,
                         spill_pad_tiles_to: int | None = None,
-                        force_spill: bool = False) -> DeviceWindowLayout:
+                        force_spill: bool = False,
+                        block_rows: int = BLOCK_N) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -112,8 +117,10 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     ``stats`` (attached to the returned layout as ``.stats``) reports the
     tile count, stream bytes, and spill fraction so callers can decide
     whether the windowed path pays for a given topology."""
-    if n_nodes_pad % BLOCK_N:
-        raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
+    if block_rows % BLOCK_N:
+        raise ValueError(f"block_rows must be a multiple of {BLOCK_N}")
+    if n_nodes_pad % block_rows:
+        raise ValueError("n_nodes_pad must be a multiple of block_rows")
     if row_major not in ("src", "type"):
         raise ValueError(f"row_major must be 'src' or 'type': {row_major!r}")
     if n_src_rows is None:
@@ -132,8 +139,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         rows = typ * n_src_rows + src
     n_wins = -(-t2 * n_src_rows // window)
     win = rows // window
-    block = dst // BLOCK_N
-    n_blocks = n_nodes_pad // BLOCK_N
+    block = dst // block_rows
+    n_blocks = n_nodes_pad // block_rows
     key = block * n_wins + win
 
     uniq, inv, counts = np.unique(key, return_inverse=True,
@@ -191,8 +198,9 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             n_tiles = pad_tiles_to
 
     tile_of_edge = np.searchsorted(uniq_t, key_d)
-    c = np.zeros((n_tiles * BLOCK_N, window), np.int8)
-    np.add.at(c, (tile_of_edge * BLOCK_N + (dst[keep] - block[keep] * BLOCK_N),
+    c = np.zeros((n_tiles * block_rows, window), np.int8)
+    np.add.at(c, (tile_of_edge * block_rows
+                  + (dst[keep] - block[keep] * block_rows),
                   rows[keep] % window), 1)
     if int(c.astype(np.int64).sum()) != int(keep.sum()):
         raise ValueError("count-matrix overflow: >127 duplicate edges for "
@@ -223,9 +231,9 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         gt_start = np.zeros(n_wins + 1, np.int32)
         np.cumsum(gt_counts, out=gt_start[1:])
         gt_of_edge = np.searchsorted(uniq_gt, key_t)
-        ct = np.zeros((n_gt * window, BLOCK_N), np.int8)
+        ct = np.zeros((n_gt * window, block_rows), np.int8)
         np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
-                       dst[keep] - block[keep] * BLOCK_N), 1)
+                       dst[keep] - block[keep] * block_rows), 1)
         arrays.update(ct_stream=jnp.asarray(ct),
                       gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
@@ -244,12 +252,12 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         grad_meta = (n_wins, int(n_gt))
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
-              grad_meta),
+              grad_meta, block_rows),
         arrays=arrays)
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
         "spill_frac": spill_frac, "window": window,
-        "stream_gb": n_tiles * BLOCK_N * window / 1e9,
+        "stream_gb": n_tiles * block_rows * window / 1e9,
         "table_reads_gb": n_tiles * window * 2 * 1e-9,  # ×D at use time
         "spill_pack": (int(spill.gather_idx.shape[0])
                        if spill is not None else 0),
@@ -460,7 +468,8 @@ def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
 
 
 def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
-    n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _ = meta
+    (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
+     block_rows) = meta
     N, D = h.shape
     if row_major == "src":
         transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
@@ -477,7 +486,7 @@ def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
     out = window_block_spmm_mono(table, arrs["c_stream"], arrs["tile_start"],
                                  arrs["block_of_tile"], arrs["win_of_tile"],
                                  n_blocks=n_blocks, window=W,
-                                 interpret=interpret)
+                                 out_rows=block_rows, interpret=interpret)
     if spill_meta is not None:
         _, s_tile_e, _, s_blocks, _, _ = spill_meta
         msgs = table[arrs["s_gather_idx"]]
@@ -500,7 +509,8 @@ def _aggregate_window_fwd(meta, interpret, arrs, h, msg_w, msg_b):
 
 def _aggregate_window_bwd(meta, interpret, res, da):
     arrs, h, msg_w = res
-    n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, grad_meta = meta
+    (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, grad_meta,
+     block_rows) = meta
     if grad_meta is None:
         raise ValueError("aggregate_window backward needs a layout built "
                          "with_grad=True")
@@ -509,13 +519,13 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     T2 = msg_w.shape[0]
     R = T2 * N
     da_pad = jnp.pad(da.astype(h.dtype),
-                     ((0, n_blocks * BLOCK_N - da.shape[0]), (0, 0)))
+                     ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
     # Y[row] = Σ_{(u,t,v)} ā_v over windowed edges: the same mono kernel,
-    # transposed roles (out blocks = W table rows, inputs = 128-row ā blocks)
+    # transposed roles (out blocks = W table rows, inputs = ā dst blocks)
     Y = window_block_spmm_mono(
         da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
         arrs["gt_block_of_tile"], arrs["gt_win_of_tile"], n_blocks=n_wins,
-        window=BLOCK_N, out_rows=W, interpret=interpret)[:R]
+        window=block_rows, out_rows=W, interpret=interpret)[:R]
     if spill_meta is not None:
         # real spill edges only, pre-sorted by gather row (sorted scatter)
         G = da[arrs["s_bwd_dst"]]
