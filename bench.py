@@ -51,6 +51,9 @@ def build_args():
                          "'window' backend is the clustered-graph fast path")
     ap.add_argument("--p_intra", type=float, default=0.95,
                     help="intra-community edge probability")
+    ap.add_argument("--powerlaw", type=float, default=0.0,
+                    help="Zipf exponent for scale-free endpoints (0 = off);"
+                         " nodes numbered by degree rank")
     ap.add_argument("--window", type=int, default=512,
                     help="table-row window for backend=window")
     ap.add_argument("--block_rows", type=int, default=128,
@@ -85,7 +88,8 @@ def main() -> int:
     batch = synthetic_batch(args.nodes, args.edges, args.types,
                             annotation_dim=8, seed=0, node_mult=128,
                             n_communities=args.communities,
-                            p_intra=args.p_intra)
+                            p_intra=args.p_intra,
+                            powerlaw_alpha=args.powerlaw)
     n_dir_edges = int(batch.edge_mask.sum())
 
     def bench_backend(backend: str) -> float:

@@ -16,7 +16,8 @@ def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
                     annotation_dim: int = 8, state_dim: int | None = None,
                     seed: int = 0, node_mult: int = 8,
                     edge_mult: int = 128, n_communities: int = 0,
-                    p_intra: float = 0.9) -> GraphBatch:
+                    p_intra: float = 0.9,
+                    powerlaw_alpha: float = 0.0) -> GraphBatch:
     """One big random graph as a GraphBatch (single graph id 0).
 
     ``n_edges`` counts LOGICAL edges; the batch holds 2× directed message
@@ -38,7 +39,16 @@ def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
     spec = PaddingSpec(n_graphs=1, n_pad=n_pad, e_pad=e_pad,
                        n_edge_types=n_edge_types, annotation_dim=annotation_dim)
 
-    if n_communities > 0:
+    if powerlaw_alpha > 0:
+        # scale-free endpoints, nodes numbered by degree rank (id 0 = top
+        # hub) — the web/social/citation regime.  Hub table rows are then
+        # contiguous, so the windowed block-CSR path captures the hub mass
+        # in a few hot windows while tail edges spill to the per-edge path.
+        w = (np.arange(n_nodes, dtype=np.float64) + 1.0) ** -powerlaw_alpha
+        cdf = np.cumsum(w / w.sum())
+        src = np.searchsorted(cdf, rng.random(n_edges)).astype(np.int64)
+        dst = np.searchsorted(cdf, rng.random(n_edges)).astype(np.int64)
+    elif n_communities > 0:
         csize = n_nodes // n_communities
         com = rng.integers(0, n_communities, n_edges)
         intra = rng.random(n_edges) < p_intra

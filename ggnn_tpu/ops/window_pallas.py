@@ -147,6 +147,13 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                                   return_counts=True)
     dense = counts >= min_edges_per_tile
     keep = dense[inv]
+    # int8 count saturation: multigraph pairs repeating >127x (hub-hub
+    # edges in scale-free graphs) spill to the per-edge path, which
+    # handles duplicates naturally
+    pair = rows * np.int64(n_nodes_pad) + dst
+    _, pinv, pcounts = np.unique(pair, return_inverse=True,
+                                 return_counts=True)
+    keep &= pcounts[pinv] <= 127
 
     # spill: low-occupancy tiles go to the per-edge one-hot path
     spill = None
@@ -157,10 +164,15 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             # size the spill tile to the spill DENSITY: a fixed 2048 pads
             # every dst block to >=2048 slots, and the spill gather then
             # reads millions of padding rows at the full ~11.6 ns/row
-            # engine cost (measured: 49 ms of a 88 ms aggregation)
-            avg = max(1, n_spill // (n_nodes_pad // BLOCK_N))
+            # engine cost (measured: 49 ms of a 88 ms aggregation).
+            # Use the median block's occupancy, not the mean — skewed
+            # (power-law) in-degree otherwise pads the long tail
+            sblk = dst[~keep] // BLOCK_N if n_spill else np.zeros(0)
+            cnts = np.bincount(sblk.astype(np.int64),
+                               minlength=n_nodes_pad // BLOCK_N)
+            med = int(np.median(cnts)) if n_spill else 0
             spill_tile_e = 128
-            while spill_tile_e < min(avg, 2048):
+            while spill_tile_e < min(med, 2048):
                 spill_tile_e *= 2
         # spilled edges gather from the SAME table the windows read — pass
         # the precomputed row index directly (edge_type=0, n_src_rows=R)
@@ -202,7 +214,7 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     np.add.at(c, (tile_of_edge * block_rows
                   + (dst[keep] - block[keep] * block_rows),
                   rows[keep] % window), 1)
-    if int(c.astype(np.int64).sum()) != int(keep.sum()):
+    if int(c.sum(dtype=np.int64)) != int(keep.sum()):
         raise ValueError("count-matrix overflow: >127 duplicate edges for "
                          "one (dst, table-row) pair within a tile")
 
