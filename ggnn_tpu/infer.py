@@ -41,9 +41,21 @@ class Predictor:
         self.params = params
         n_graphs = spec.n_graphs
 
+        # production backends need a host-built per-batch layout; static
+        # budgets keep its shapes fixed so this jit compiles once
+        if cfg.backend == "onehot":
+            from ggnn_tpu.ops.scatter_pallas import layout_for_batch
+            self._layout = lambda b: layout_for_batch(b, with_grad=False)
+        elif cfg.backend == "window":
+            from ggnn_tpu.ops.window_pallas import window_layout_for_batch
+            self._layout = window_layout_for_batch
+        else:
+            self._layout = lambda b: None
+
         @jax.jit
-        def _fwd(params, arrays):
-            return forward(params, cfg, arrays, n_graphs)
+        def _fwd(params, arrays, layout):
+            return forward(params, cfg, arrays, n_graphs,
+                           scatter_layout=layout)
 
         self._fwd = _fwd
 
@@ -68,7 +80,8 @@ class Predictor:
             chunk = graphs[i:i + B]
             batch = batch_graphs(chunk, self.spec)
             arrays = jax.tree.map(jnp.asarray, batch.arrays)
-            res = np.asarray(self._fwd(self.params, arrays))
+            res = np.asarray(self._fwd(self.params, arrays,
+                                       self._layout(batch)))
             out.extend(self._decode(res, batch, len(chunk)))
         return out
 

@@ -277,6 +277,29 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     return lay
 
 
+def window_layout_for_batch(batch, window: int = 512,
+                            min_edges_per_tile: int = 32,
+                            spill_tile_e: int = 128,
+                            block_rows: int = BLOCK_N) -> DeviceWindowLayout:
+    """Static-budget windowed layout for a GraphBatch: tile counts padded
+    to topology-independent bounds (dense tiles ≤ e_pad/min_edges + one
+    dummy per block; spill ≤ the one-hot static budget), so a jitted
+    serving/eval step compiles once across batches.  Forward-only."""
+    from ggnn_tpu.ops.scatter_pallas import static_tile_budget
+    spec = batch.spec
+    t2 = 2 * spec.n_edge_types
+    n_dst = -(-spec.n_pad // block_rows) * block_rows
+    budget = spec.e_pad // min_edges_per_tile + n_dst // block_rows
+    return build_window_layout(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        n_dst, window=window, min_edges_per_tile=min_edges_per_tile,
+        spill_tile_e=spill_tile_e, n_message_types=t2, row_major="src",
+        n_src_rows=spec.n_pad, block_rows=block_rows,
+        pad_tiles_to=budget, force_spill=True,
+        spill_pad_tiles_to=static_tile_budget(spec.e_pad, n_dst,
+                                              spill_tile_e))
+
+
 def _window_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                    table_ref, c_ref, out_ref):
     i = pl.program_id(0)

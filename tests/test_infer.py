@@ -28,3 +28,37 @@ def test_predictor_round_trip(tmp_path):
     assert len(preds) == len(graphs)
     acc = np.mean([p == int(e.target) for p, e in zip(preds, examples)])
     assert acc >= 0.7  # trained on qtype 0; fresh generator draw
+
+
+def test_predictor_backends_agree(rng):
+    """Predictions are backend-independent: xla vs onehot vs window (the
+    serving path builds static-budget layouts per batch, one compile)."""
+    from ggnn_tpu.infer import Predictor
+    from ggnn_tpu.models.config import ModelConfig
+    from ggnn_tpu.graph import PaddingSpec
+
+    def graphs(k):
+        out = []
+        for _ in range(k):
+            n = int(rng.integers(5, 12))
+            m = int(rng.integers(4, 2 * n))
+            edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                              rng.integers(0, n, m)], axis=1)
+            ann = (rng.random((n, 2)) < 0.5).astype(np.float32)
+            out.append(dict(n_nodes=n, edges=edges, annotations=ann,
+                            targets={}))
+        return out
+
+    gs = graphs(7)
+    spec = PaddingSpec(n_graphs=4, n_pad=64, e_pad=96, n_edge_types=3,
+                       annotation_dim=2).round_up()
+    preds = {}
+    for backend in ("xla", "onehot", "window"):
+        cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                          n_steps=3, head="node_select", backend=backend)
+        p = Predictor(cfg, spec)
+        preds[backend] = p.predict(gs)
+        if backend != "xla":
+            assert p._fwd._cache_size() == 1
+    assert preds["onehot"] == preds["xla"]
+    assert preds["window"] == preds["xla"]
