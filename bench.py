@@ -92,7 +92,9 @@ def main() -> int:
                             powerlaw_alpha=args.powerlaw)
     n_dir_edges = int(batch.edge_mask.sum())
 
-    def bench_backend(backend: str) -> float:
+    def bench_backend(backend: str, batch=batch,
+                      block_rows: int | None = None) -> float:
+        n_dir_edges = int(batch.edge_mask.sum())
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
@@ -104,7 +106,8 @@ def main() -> int:
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
-                n_message_types=2 * args.types, block_rows=args.block_rows,
+                n_message_types=2 * args.types,
+                block_rows=block_rows or args.block_rows,
                 with_grad=(args.mode == "train"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":
@@ -213,13 +216,34 @@ def main() -> int:
         except Exception as e:  # keep the bench alive if one path breaks
             print(f"# {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    if args.backend == "auto" and not args.communities and not args.powerlaw \
+            and args.mode == "fwd":
+        # secondary showcase (does NOT enter value/vs_baseline, which stay
+        # on the uniform graph): the windowed block-CSR backend on a
+        # community-structured graph — the partitioned-production regime
+        # where the per-edge gather engine's 11.6 ns/row no longer binds
+        try:
+            comm = synthetic_batch(
+                args.nodes, args.edges, args.types, annotation_dim=8,
+                seed=0, node_mult=128,
+                n_communities=max(args.nodes // 512, 1), p_intra=0.95)
+            results["window_community"] = bench_backend(
+                "window", batch=comm, block_rows=512)
+            print(f"# window_community: {results['window_community']:.3e} "
+                  f"edges/s", file=sys.stderr)
+        except Exception as e:
+            print(f"# window_community failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     if not results:
         print(json.dumps({"metric": "edges_per_sec_per_chip", "value": 0.0,
                           "unit": "edges/s", "vs_baseline": 0.0,
                           "error": "all backends failed"}))
         return 1
 
-    best_name = max(results, key=results.get)
+    uniform = {k: v for k, v in results.items() if k != "window_community"}
+    best_name = max(uniform, key=uniform.get) if uniform \
+        else max(results, key=results.get)
     best = results[best_name]
     baseline = results.get("xla", best)
     print(json.dumps({
