@@ -124,3 +124,37 @@ def test_static_layout_single_compile(rng):
     assert np.isfinite(float(m1["loss_sum"]))
     assert np.isfinite(float(m2["loss_sum"]))
     assert step._cache_size() == 1
+
+
+def test_ggsnn_window_backend_parity(rng):
+    """GGS-NN round scan on the windowed block-CSR backend matches XLA
+    (the layout flows through the same scatter_layout plumbing)."""
+    from ggnn_tpu.ops.window_pallas import build_window_layout
+    E, A, K = 3, 2, 2
+    graphs = _rand_graphs(rng, n_edge_types=E, annotation_dim=A, seq_k=K)
+    spec = _spec(graphs, E, A)
+    b = batch_graphs(graphs, spec)
+    mk = dict(state_dim=8, annotation_dim=A, n_edge_types=E, n_steps=2,
+              head="ggsnn", n_classes=5, n_rounds=K)
+    params = init_params(jax.random.PRNGKey(3), ModelConfig(**mk))
+    args = (jnp.asarray(b.annotations), jnp.asarray(b.node_graph),
+            jnp.asarray(b.node_mask), jnp.asarray(b.edge_src),
+            jnp.asarray(b.edge_dst), jnp.asarray(b.edge_type),
+            jnp.asarray(b.edge_mask))
+    lay = build_window_layout(b.edge_src, b.edge_dst, b.edge_type,
+                              b.edge_mask, spec.n_pad, window=64,
+                              min_edges_per_tile=4,
+                              n_message_types=2 * E)
+
+    def run(backend, layout=None):
+        cfg = ModelConfig(**mk, backend=backend)
+
+        @jax.jit
+        def fwd(params, layout, *args):
+            return ggsnn_forward(params, cfg, *args, n_graphs=spec.n_graphs,
+                                 scatter_layout=layout)[0]
+
+        return np.asarray(fwd(params, layout, *args))
+
+    np.testing.assert_allclose(run("window", lay), run("xla"),
+                               rtol=3e-5, atol=3e-5)
