@@ -79,7 +79,8 @@ def main() -> int:
             lay = build_halo_scatter_layouts(parts, tile_e=512)
         elif args.strategy == "halo_window":
             from ggnn_tpu.parallel.partition import build_halo_window_layouts
-            lay = build_halo_window_layouts(parts)
+            lay = build_halo_window_layouts(
+                parts, n_message_types=cfg.n_message_types)
         lay_meta = lay[1] if lay else None
 
         # parts/layout arrays flow through jit ARGUMENTS (closure constants

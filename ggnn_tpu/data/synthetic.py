@@ -46,6 +46,8 @@ def synthetic_batch(n_nodes: int, n_edges: int, n_edge_types: int = 8,
         # in a few hot windows while tail edges spill to the per-edge path.
         w = (np.arange(n_nodes, dtype=np.float64) + 1.0) ** -powerlaw_alpha
         cdf = np.cumsum(w / w.sum())
+        cdf[-1] = 1.0  # float rounding can leave cdf[-1] < 1: a draw in
+        # [cdf[-1], 1) would yield the out-of-range node id n_nodes
         src = np.searchsorted(cdf, rng.random(n_edges)).astype(np.int64)
         dst = np.searchsorted(cdf, rng.random(n_edges)).astype(np.int64)
     elif n_communities > 0:

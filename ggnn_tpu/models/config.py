@@ -33,8 +33,20 @@ class ModelConfig:
                                   # gated readout) | 'node' (select the next
                                   # path node per round, paper's alternative)
     agg_strategy: str = "node_transform"   # ops.segment strategy
-    backend: str = "xla"          # 'xla' | 'pallas'
+    backend: str = "xla"          # 'xla' | 'pallas' | 'onehot' | 'window'
     param_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.backend not in ("xla", "pallas", "onehot", "window"):
+            raise ValueError(
+                f"unknown backend {self.backend!r}: expected "
+                "'xla' | 'pallas' | 'onehot' | 'window'")
+        if self.edge_gates and self.backend in ("onehot", "window"):
+            # count-matrix / one-hot layouts are topology-only and cannot
+            # carry per-edge data-dependent gates
+            raise ValueError(
+                f"edge_gates is unsupported with backend={self.backend!r}; "
+                "use 'xla' or 'pallas'")
 
     @property
     def n_message_types(self) -> int:

@@ -4,8 +4,8 @@ TPU (no cheap atomics) → sort edges by dst and use segmented accumulation
 inside the kernel").
 
 XLA lowers ``segment_sum`` on TPU to a scatter that processes colliding
-rows serially — ~140 ns/edge, which dominated the whole propagation step
-(measured ≈1.16 s for 8M edges).  This module instead:
+rows serially — it dominated the whole propagation step at 8M edges.
+This module instead:
 
 1. Groups directed edges by 128-row destination block (host-side layout,
    topology-static — built once per batch, reused across all T steps and
@@ -24,7 +24,9 @@ Padding edges carry an all-zero one-hot column (``dst_local = −1`` in the
 id-based fallback kernel), so no separate mask pass is needed.  FLOPs:
 2·E·128·D — for D=128 the same as the message matmuls themselves, i.e. the
 scatter rides the MXU at matmul speed instead of serializing on the scalar
-core.  Measured: 147 ms (XLA) → ~30 ms (this kernel) for 8M edges, D=128.
+core.  True steady-state cost (roundtrip-corrected, docs/DESIGN.md):
+~5.2 ms for 8M edges at D=128 — at HBM bandwidth, vs ~120 ms for XLA's
+scatter.
 
 ``aggregate_onehot`` composes the full typed aggregation step:
 node-side per-type transforms (one big MXU einsum) → linear-order gather →
@@ -224,9 +226,16 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                 f"pad_tiles_to={pad_tiles_to} < required {int(tiles.sum())}")
         tiles[-1] += extra  # all-padding tiles at the tail of the last block
     tile_start = np.zeros(n_blocks + 1, np.int32)
+    # static-budget layouts must also have a topology-INDEPENDENT
+    # max_tiles: it sits in the pytree static meta (the jit cache key), so
+    # a per-topology tiles.max() would recompile the step whenever edge
+    # concentration shifts — exactly what pad_tiles_to exists to prevent.
+    # (Only the 2-D grid kernels read it; they skip empty iterations.)
+    static_max_tiles = pad_tiles_to if pad_tiles_to is not None else None
     np.cumsum(tiles, out=tile_start[1:])
     e_pack = int(tile_start[-1]) * tile_e
-    max_tiles = int(tiles.max()) if n_blocks else 1
+    max_tiles = (static_max_tiles if static_max_tiles is not None
+                 else int(tiles.max()) if n_blocks else 1)
 
     gather_idx = np.zeros(max(e_pack, tile_e), np.int32)
     dst_local = np.full(max(e_pack, tile_e), -1, np.int32)
@@ -537,140 +546,26 @@ def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
     )(tile_start, messages, onehot_t)
 
 
-def _scatter_mono_kernel(block_of_tile_ref, tile_start_ref, msg_hbm, oh_hbm,
-                         out_hbm, acc, msg_buf, oh_buf, msg_sem, oh_sem,
-                         out_sem, *, tile_e, nbuf, blocks_per_prog):
-    """Monolithic streaming scatter: ONE grid program per contiguous range
-    of dst blocks, looping over every edge tile with an ``nbuf``-deep input
-    DMA ring and a double-buffered VMEM block accumulator whose flushes to
-    HBM are async copies.  Rationale: the flat 1-D grid pays a fixed
-    ~3–7 µs of Mosaic program overhead per 2048-edge tile (≈30 ms at 8M
-    edges, vs a ~5 ms HBM-bandwidth floor); here the grid machinery runs
-    once and the inner loop costs only the scalar work of issuing DMAs."""
-    p = pl.program_id(0)
-    b0 = p * blocks_per_prog
-    t0 = tile_start_ref[b0]
-    t1 = tile_start_ref[b0 + blocks_per_prog]
-
-    def in_dma(slot, t):
-        m = pltpu.make_async_copy(
-            msg_hbm.at[pl.ds(t * tile_e, tile_e), :],
-            msg_buf.at[slot], msg_sem.at[slot])
-        o = pltpu.make_async_copy(
-            oh_hbm.at[pl.ds(t * BLOCK_N, BLOCK_N), :],
-            oh_buf.at[slot], oh_sem.at[slot])
-        return m, o
-
-    def out_dma(par, blk):
-        return pltpu.make_async_copy(
-            acc.at[par], out_hbm.at[pl.ds(blk * BLOCK_N, BLOCK_N), :],
-            out_sem.at[par])
-
-    def prolog(k, _):
-        @pl.when(t0 + k < t1)
-        def _():
-            m, o = in_dma(k, t0 + k)
-            m.start()
-            o.start()
-        return 0
-
-    jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
-
-    def body(t, _):
-        slot = jax.lax.rem(t - t0, nbuf)
-        blk = block_of_tile_ref[t]
-        par = jax.lax.rem(blk - b0, 2)
-        first = t == tile_start_ref[blk]
-        last = t == tile_start_ref[blk + 1] - 1
-
-        # the accumulator parity we are about to (re)use was flushed two
-        # blocks ago — drain that flush before overwriting
-        @pl.when(jnp.logical_and(first, blk - b0 >= 2))
-        def _():
-            out_dma(par, blk - 2).wait()
-
-        m, o = in_dma(slot, t)
-        m.wait()
-        o.wait()
-        oh = oh_buf[slot].astype(msg_buf.dtype)              # [128, tile_e]
-        prod = jax.lax.dot_general(
-            oh, msg_buf[slot], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        @pl.when(first)
-        def _():
-            acc[par] = prod
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            acc[par] = acc[par] + prod
-
-        @pl.when(t + nbuf < t1)
-        def _():
-            m2, o2 = in_dma(slot, t + nbuf)
-            m2.start()
-            o2.start()
-
-        @pl.when(last)
-        def _():
-            out_dma(par, blk).start()
-
-        return 0
-
-    jax.lax.fori_loop(t0, t1, body, 0)
-    # epilogue: drain the final (up to two) output flushes
-    last_blk = b0 + blocks_per_prog - 1
-    if blocks_per_prog >= 2:
-        out_dma(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1).wait()
-    out_dma(jax.lax.rem(last_blk - b0, 2), last_blk).wait()
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_blocks", "tile_e", "n_progs", "nbuf",
-                                    "interpret"))
 def onehot_segment_scatter_mono(messages, onehot_t, tile_start, block_of_tile,
                                 n_blocks: int, tile_e: int = 2048,
                                 n_progs: int = 1, nbuf: int = 4,
                                 interpret: bool = False):
-    """Monolithic-streaming variant of :func:`onehot_segment_scatter_flat`
-    (see :func:`_scatter_mono_kernel`).  ``n_progs`` grid programs each own
-    ``n_blocks / n_progs`` contiguous dst blocks."""
-    if n_blocks % n_progs:
-        raise ValueError("n_progs must divide n_blocks")
-    D = messages.shape[-1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_progs,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
-            pltpu.VMEM((nbuf, tile_e, D), messages.dtype),
-            pltpu.VMEM((nbuf, BLOCK_N, tile_e), onehot_t.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_scatter_mono_kernel, tile_e=tile_e,
-                               nbuf=nbuf,
-                               blocks_per_prog=n_blocks // n_progs)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * messages.shape[0] * BLOCK_N * D,
-            bytes_accessed=messages.shape[0] * (D * messages.dtype.itemsize
-                                                + BLOCK_N)
-            + n_blocks * BLOCK_N * D * 4,
-            transcendentals=0,
-        ),
-    )(block_of_tile, tile_start, messages, onehot_t)
+    """Monolithic-streaming variant of :func:`onehot_segment_scatter_flat`:
+    a thin wrapper over the generalized windowed mono kernel
+    (:func:`ggnn_tpu.ops.window_pallas.window_block_spmm_mono`) with each
+    edge tile reading its own ``tile_e``-row "window" of the message
+    stream (``win_of_tile = arange``).  Measured equivalent to the flat
+    kernel (both at HBM bandwidth — docs/DESIGN.md round-2 correction);
+    kept as the benchmarked alternative without duplicating the
+    DMA-ring/semaphore logic."""
+    import jax.numpy as jnp
+    from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
+    n_tiles = onehot_t.shape[0] // BLOCK_N
+    win_of_tile = jnp.arange(n_tiles, dtype=jnp.int32)
+    return window_block_spmm_mono(
+        messages, onehot_t, tile_start, block_of_tile, win_of_tile,
+        n_blocks=n_blocks, window=tile_e, n_progs=n_progs, nbuf=nbuf,
+        interpret=interpret)
 
 
 def layout_for_batch(batch, tile_e: int = 128, with_grad: bool = True

@@ -88,7 +88,12 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     if strategy == "halo_window":
         if lay_arrays is None:
             from ggnn_tpu.parallel.partition import build_halo_window_layouts
-            lay_arrays, lay_meta = build_halo_window_layouts(parts)
+            # the model's message-type count, NOT the max observed type:
+            # the table stride is msg_w.shape[0] — inferring from the batch
+            # silently mis-addresses every window row when the top type is
+            # absent
+            lay_arrays, lay_meta = build_halo_window_layouts(
+                parts, n_message_types=cfg.n_message_types)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
 

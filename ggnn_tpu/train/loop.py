@@ -103,14 +103,15 @@ class Trainer:
         self.eval_step = make_eval_step(cfg.model, cfg.batch_size)
         self.step = 0
         self.epoch = 0
+        self._eval_cache = None
 
-    def _layout(self, batch):
+    def _layout(self, batch, with_grad: bool = True):
         """Static-budget scatter layout for the onehot backend (shapes are a
         pure function of the PaddingSpec — the jitted step compiles once)."""
         if self.cfg.model.backend != "onehot":
             return None
         from ggnn_tpu.ops.scatter_pallas import layout_for_batch
-        return layout_for_batch(batch, with_grad=True)
+        return layout_for_batch(batch, with_grad=with_grad)
 
     # -- checkpointing ----------------------------------------------------
     def _ckpt_tree(self):
@@ -152,8 +153,14 @@ class Trainer:
 
     def evaluate(self) -> dict:
         sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
-        for batch in self.test_loader.epoch_batches(0):
-            m = self.eval_step(self.params, batch.arrays, self._layout(batch))
+        if self._eval_cache is None:
+            # test topologies are fixed (no shuffle): build layouts once,
+            # without the grad sub-layout eval never uses
+            self._eval_cache = [
+                (b, self._layout(b, with_grad=False))
+                for b in self.test_loader.epoch_batches(0)]
+        for batch, layout in self._eval_cache:
+            m = self.eval_step(self.params, batch.arrays, layout)
             for k in sums:
                 sums[k] += float(m[k])
         n = max(sums["count"], 1.0)

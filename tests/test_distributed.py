@@ -110,6 +110,10 @@ def test_sharded_propagate_halo_window(rng):
     from ggnn_tpu.parallel.partition import split_local_remote
     b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=3,
                         node_mult=1024, n_communities=8, p_intra=0.9)
+    # adversarial: mask out every edge of the HIGHEST message type — the
+    # layout must still address the model's full [2E·N]-row table (a
+    # max-observed-type inference bug returned silently wrong states here)
+    b.edge_mask[b.edge_type == 5] = 0.0
     cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
                       n_steps=3)
     params = init_params(jax.random.PRNGKey(2), cfg)

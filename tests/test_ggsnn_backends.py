@@ -119,6 +119,21 @@ def test_static_layout_single_compile(rng):
     jax.tree.map(lambda a, c: np.testing.assert_array_equal(
         np.asarray(a.shape), np.asarray(c.shape)), l1, l2)
     assert l1.meta == l2.meta
+    # adversarial meta stability: all edges into ONE dst block vs spread
+    # across blocks must still produce identical static meta (max_tiles is
+    # part of the jit cache key — a per-topology value recompiles the step)
+    def _batch(dsts):
+        g = [dict(n_nodes=10,
+                  edges=np.stack([np.zeros(8, np.int64),
+                                  np.zeros(8, np.int64),
+                                  np.asarray(dsts, np.int64)], axis=1),
+                  annotations=np.ones((10, A), np.float32),
+                  targets={"seq": np.zeros(2, np.int32),
+                           "seq_nodes": np.zeros(2, np.int32)})] * 3
+        return batch_graphs(g, spec)
+    lc = layout_for_batch(_batch([1] * 8))       # concentrated
+    ls = layout_for_batch(_batch(list(range(8))))  # spread
+    assert lc.meta == ls.meta
     params, opt_state, m1 = step(params, opt_state, b1.arrays, l1)
     params, opt_state, m2 = step(params, opt_state, b2.arrays, l2)
     assert np.isfinite(float(m1["loss_sum"]))

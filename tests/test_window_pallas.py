@@ -201,3 +201,35 @@ def test_window_layout_jit_argument(rng):
                           params["prop"]["msg_w"], params["prop"]["msg_b"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_window_layout_degenerate(rng):
+    """Empty and single-edge graphs build valid layouts (dummy tiles only)
+    and aggregate to the correct (zero) result."""
+    N, D = 256, 16
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    # zero real edges
+    lay = build_window_layout(np.zeros(4, np.int32), np.zeros(4, np.int32),
+                              np.zeros(4, np.int32), np.zeros(4, np.float32),
+                              N, window=64, n_message_types=4,
+                              force_spill=True)
+    out = aggregate_window(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    # one real edge, duplicated 200x (int8 saturation -> spill)
+    src = np.full(200, 3, np.int32)
+    dst = np.full(200, 7, np.int32)
+    typ = np.ones(200, np.int32)
+    mask = np.ones(200, np.float32)
+    lay2 = build_window_layout(src, dst, typ, mask, N, window=64,
+                               min_edges_per_tile=1, n_message_types=4)
+    assert lay2.stats["spill_frac"] == 1.0  # >127 duplicates spill
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_window(h, lay2, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
