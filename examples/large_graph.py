@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--chunks", type=int, default=1)
+    ap.add_argument("--communities", type=int, default=0,
+                    help="community-structured graph: switches to the "
+                         "windowed block-CSR backend (the clustered-graph "
+                         "fast path, ~5x the per-edge rate)")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
     if args.platform:
@@ -45,14 +49,23 @@ def main():
 
     print(f"building graph: {args.nodes} nodes, {args.edges} edges ...")
     batch = synthetic_batch(args.nodes, args.edges, args.types,
-                            annotation_dim=8, seed=0, node_mult=128)
+                            annotation_dim=8, seed=0, node_mult=128,
+                            n_communities=args.communities)
+    backend = "window" if args.communities else "onehot"
     cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                       n_edge_types=args.types, n_steps=args.steps,
-                      backend="onehot", compute_dtype="bfloat16")
+                      backend=backend, compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
 
     t0 = time.time()
-    if args.chunks > 1:
+    if args.communities:
+        from ggnn_tpu.ops.window_pallas import build_window_layout
+        layout = build_window_layout(
+            batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+            batch.spec.n_pad, n_message_types=2 * args.types,
+            block_rows=min(512, args.nodes // args.communities))
+        print(f"window layout: {layout.stats}")
+    elif args.chunks > 1:
         layout = build_chunked_dst_layouts(
             batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
             batch.spec.n_pad, n_chunks=args.chunks, tile_e=2048)
