@@ -82,11 +82,26 @@ class DeviceWindowLayout:
     def block_rows(self):
         return self.meta[7] if len(self.meta) > 7 else BLOCK_N
 
+    @property
+    def packed(self):
+        """(fwd, bwd) int4 count-packing flags (see ``pack_counts``)."""
+        return self.meta[8] if len(self.meta) > 8 else (False, False)
+
 
 jax.tree_util.register_pytree_node(
     DeviceWindowLayout,
     lambda l: ((l.arrays,), l.meta),
     lambda meta, children: DeviceWindowLayout(meta=meta, arrays=children[0]))
+
+
+def _pack_nibbles(c: np.ndarray) -> np.ndarray:
+    """[R, W] int8 counts in 0..15 → [R, W/2] bytes: low nibble = col w,
+    high nibble = col w + W/2 (so the kernel's mask/shift recovers the two
+    contiguous window halves without any lane interleave)."""
+    half = c.shape[1] // 2
+    lo = c[:, :half].astype(np.uint8)
+    hi = c[:, half:].astype(np.uint8)
+    return (lo | (hi << 4)).view(np.int8)
 
 
 def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
@@ -100,7 +115,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         pad_tiles_to: int | None = None,
                         spill_pad_tiles_to: int | None = None,
                         force_spill: bool = False,
-                        block_rows: int = BLOCK_N) -> DeviceWindowLayout:
+                        block_rows: int = BLOCK_N,
+                        pack_counts: bool = False) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -116,13 +132,28 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
 
     ``stats`` (attached to the returned layout as ``.stats``) reports the
     tile count, stream bytes, and spill fraction so callers can decide
-    whether the windowed path pays for a given topology."""
+    whether the windowed path pays for a given topology.
+
+    ``pack_counts=True`` stores counts as int4 pairs — byte w of a packed
+    row holds count[w] in the low nibble and count[w + W/2] in the high
+    nibble — halving the count-stream DMA bytes (the dominant stream).
+    The kernel unpacks with one mask + one shift on the VPU and contracts
+    the two nibbles against the two window halves (same MXU FLOPs).
+    Multigraph pairs repeating >15× spill to the per-edge path (vs >127
+    unpacked); needs ``window ≥ 256`` (the packed row must still fill the
+    128-lane tile), and the transposed backward stream packs only when
+    ``block_rows ≥ 256``."""
     if block_rows % BLOCK_N:
         raise ValueError(f"block_rows must be a multiple of {BLOCK_N}")
     if n_nodes_pad % block_rows:
         raise ValueError("n_nodes_pad must be a multiple of block_rows")
     if row_major not in ("src", "type"):
         raise ValueError(f"row_major must be 'src' or 'type': {row_major!r}")
+    pack_fwd = pack_counts and window >= 256
+    pack_bwd = pack_counts and block_rows >= 256
+    if pack_counts and not pack_fwd:
+        raise ValueError("pack_counts needs window >= 256 (a packed row "
+                         "of window/2 bytes must fill the 128-lane tile)")
     if n_src_rows is None:
         n_src_rows = n_nodes_pad
     real = np.asarray(edge_mask) > 0
@@ -153,7 +184,7 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     pair = rows * np.int64(n_nodes_pad) + dst
     _, pinv, pcounts = np.unique(pair, return_inverse=True,
                                  return_counts=True)
-    keep &= pcounts[pinv] <= 127
+    keep &= pcounts[pinv] <= (15 if pack_fwd else 127)
 
     # spill: low-occupancy tiles go to the per-edge one-hot path
     spill = None
@@ -217,6 +248,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     if int(c.sum(dtype=np.int64)) != int(keep.sum()):
         raise ValueError("count-matrix overflow: >127 duplicate edges for "
                          "one (dst, table-row) pair within a tile")
+    if pack_fwd:
+        c = _pack_nibbles(c)
 
     arrays = {"c_stream": jnp.asarray(c),
               "tile_start": jnp.asarray(tile_start),
@@ -246,6 +279,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         ct = np.zeros((n_gt * window, block_rows), np.int8)
         np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
                        dst[keep] - block[keep] * block_rows), 1)
+        if pack_bwd:
+            ct = _pack_nibbles(ct)
         arrays.update(ct_stream=jnp.asarray(ct),
                       gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
@@ -264,12 +299,13 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         grad_meta = (n_wins, int(n_gt))
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
-              grad_meta, block_rows),
+              grad_meta, block_rows, (pack_fwd, pack_bwd)),
         arrays=arrays)
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
         "spill_frac": spill_frac, "window": window,
-        "stream_gb": n_tiles * block_rows * window / 1e9,
+        "stream_gb": n_tiles * block_rows * window / (2e9 if pack_fwd
+                                                      else 1e9),
         "table_reads_gb": n_tiles * window * 2 * 1e-9,  # ×D at use time
         "spill_pack": (int(spill.gather_idx.shape[0])
                        if spill is not None else 0),
@@ -353,7 +389,7 @@ def window_block_spmm(table, c_stream, tile_start, block_of_tile,
 def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                         table_hbm, c_hbm, out_hbm, acc, tbl_buf, c_buf,
                         tbl_sem, c_sem, out_sem, *, window, nbuf,
-                        blocks_per_prog, block_n):
+                        blocks_per_prog, block_n, packed=False):
     """Manual-DMA variant: the automatic pipeline cannot prefetch through
     the DYNAMIC table-window index map (win_of_tile[i]) — measured ~2.8 us
     of serialized DMA latency per tile, which dominated the whole step.
@@ -404,8 +440,23 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         m, c = in_dma(slot, t)
         m.wait()
         c.wait()
-        prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
-                       preferred_element_type=jnp.float32)
+        if packed:
+            # int4 pairs: low nibble = window cols [0, W/2), high nibble =
+            # [W/2, W).  Arithmetic int8 shift then &15 recovers the high
+            # nibble regardless of the sign bit; two half-window MXU
+            # matmuls replace the full-width one (same FLOPs, half the
+            # count-stream DMA bytes — the dominant stream).
+            cp = c_buf[slot]
+            half = window // 2
+            lo = (cp & 15).astype(tbl_buf.dtype)
+            hi = ((cp >> 4) & 15).astype(tbl_buf.dtype)
+            prod = (jnp.dot(lo, tbl_buf[slot, :half],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(hi, tbl_buf[slot, half:],
+                              preferred_element_type=jnp.float32))
+        else:
+            prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
+                           preferred_element_type=jnp.float32)
 
         @pl.when(first)
         def _():
@@ -436,23 +487,29 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
-                                    "out_rows", "interpret"))
+                                    "out_rows", "packed", "interpret"))
 def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                            win_of_tile, n_blocks: int, window: int,
                            n_progs: int = 1, nbuf: int = 6,
-                           out_rows: int = BLOCK_N,
+                           out_rows: int = BLOCK_N, packed: bool = False,
                            interpret: bool = False):
     """Manual-DMA-ring variant of :func:`window_block_spmm` (production).
 
     ``out_rows`` generalizes the output-block height so the SAME kernel
     serves the transposed (backward) pass with roles swapped: out blocks =
     ``window``-row table ranges, input blocks = 128 cotangent rows, and
-    the count stream transposed (pass window=128, out_rows=W)."""
+    the count stream transposed (pass window=128, out_rows=W).
+
+    ``packed=True`` consumes an int4-packed count stream
+    ([n_tiles·out_rows, window/2] — see :func:`_pack_nibbles`); the count
+    DMA bytes halve and the MXU contraction splits into the two window
+    halves."""
     R, D = table.shape
     if R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
         raise ValueError("n_progs must divide n_blocks")
+    c_cols = window // 2 if packed else window
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_progs,),
@@ -462,7 +519,7 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
         scratch_shapes=[
             pltpu.VMEM((2, out_rows, D), jnp.float32),
             pltpu.VMEM((nbuf, window, D), table.dtype),
-            pltpu.VMEM((nbuf, out_rows, window), c_stream.dtype),
+            pltpu.VMEM((nbuf, out_rows, c_cols), c_stream.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -470,7 +527,7 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     )
     kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
-                               block_n=out_rows)
+                               block_n=out_rows, packed=packed)
     n_tiles = c_stream.shape[0] // out_rows
     return pl.pallas_call(
         kernel,
@@ -480,7 +537,7 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * out_rows * window * D,
             bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
-                                      + out_rows * window)
+                                      + out_rows * c_cols)
             + n_blocks * out_rows * D * 4,
             transcendentals=0,
         ),
@@ -504,7 +561,8 @@ def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
 
 def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
-     block_rows) = meta
+     block_rows) = meta[:8]
+    pack_fwd = meta[8][0] if len(meta) > 8 else False
     N, D = h.shape
     if row_major == "src":
         transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
@@ -521,7 +579,8 @@ def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
     out = window_block_spmm_mono(table, arrs["c_stream"], arrs["tile_start"],
                                  arrs["block_of_tile"], arrs["win_of_tile"],
                                  n_blocks=n_blocks, window=W,
-                                 out_rows=block_rows, interpret=interpret)
+                                 out_rows=block_rows, packed=pack_fwd,
+                                 interpret=interpret)
     if spill_meta is not None:
         _, s_tile_e, _, s_blocks, _, _ = spill_meta
         msgs = table[arrs["s_gather_idx"]]
@@ -545,7 +604,8 @@ def _aggregate_window_fwd(meta, interpret, arrs, h, msg_w, msg_b):
 def _aggregate_window_bwd(meta, interpret, res, da):
     arrs, h, msg_w = res
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, grad_meta,
-     block_rows) = meta
+     block_rows) = meta[:8]
+    pack_bwd = meta[8][1] if len(meta) > 8 else False
     if grad_meta is None:
         raise ValueError("aggregate_window backward needs a layout built "
                          "with_grad=True")
@@ -560,7 +620,8 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     Y = window_block_spmm_mono(
         da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
         arrs["gt_block_of_tile"], arrs["gt_win_of_tile"], n_blocks=n_wins,
-        window=block_rows, out_rows=W, interpret=interpret)[:R]
+        window=block_rows, out_rows=W, packed=pack_bwd,
+        interpret=interpret)[:R]
     if spill_meta is not None:
         # real spill edges only, pre-sorted by gather row (sorted scatter)
         G = da[arrs["s_bwd_dst"]]

@@ -43,6 +43,73 @@ def test_window_parity(rng, min_edges, row_major):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("with_grad", [False, True])
+def test_window_packed_parity(rng, with_grad):
+    """int4-packed count streams (pack_counts=True): forward and backward
+    match the XLA segment path; both directions report packed."""
+    N, E, T2, D = 512, 3000, 4, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=2, spill_tile_e=8,
+                              n_message_types=T2, block_rows=256,
+                              with_grad=with_grad, pack_counts=True)
+    assert lay.packed == (True, True)
+    # packed stream is half-width
+    assert lay.arrays["c_stream"].shape[1] == 128
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    w, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask), w, b)
+    got = aggregate_window(h, lay, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    if with_grad:
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+        def loss(agg):
+            def f(h, w, b):
+                return jnp.sum((agg(h, w, b) - tgt) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(h, w, b)
+
+        g_ref = loss(lambda h, w, b: typed_aggregate(
+            h, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask), w, b))
+        g_win = loss(lambda h, w, b: aggregate_window(
+            h, lay, w, b, interpret=True))
+        for a, c, name in zip(g_win, g_ref, ("dh", "dW", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_window_packed_saturation_and_guards(rng):
+    """Packing tightens the duplicate-pair saturation threshold to 15 (int4)
+    and rejects windows too narrow to fill a 128-lane packed tile."""
+    N = 512
+    # 20 duplicates of one edge: fits int8 (127) but not int4 (15)
+    src = np.full(20, 3, np.int32)
+    dst = np.full(20, 7, np.int32)
+    typ = np.ones(20, np.int32)
+    mask = np.ones(20, np.float32)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=1, n_message_types=4,
+                              pack_counts=True)
+    assert lay.stats["spill_frac"] == 1.0
+    lay8 = build_window_layout(src, dst, typ, mask, N, window=256,
+                               min_edges_per_tile=1, n_message_types=4)
+    assert lay8.stats["spill_frac"] == 0.0
+    with pytest.raises(ValueError, match="window >= 256"):
+        build_window_layout(src, dst, typ, mask, N, window=128,
+                            n_message_types=4, pack_counts=True)
+    # block_rows=128 < 256: forward packs, backward stays unpacked
+    lay_bw = build_window_layout(src[:1], dst[:1], typ[:1], mask[:1], N,
+                                 window=256, min_edges_per_tile=1,
+                                 n_message_types=4, with_grad=True,
+                                 pack_counts=True)
+    assert lay_bw.packed == (True, False)
+
+
 def test_window_layout_stats(rng):
     """Community graph: dense tiles capture the intra-community mass and
     the spill fraction tracks the cross-community rate."""
