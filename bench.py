@@ -59,6 +59,10 @@ def build_args():
     ap.add_argument("--block_rows", type=int, default=128,
                     help="dst rows per window tile (multiples of 128 "
                          "amortize table re-reads across a community)")
+    ap.add_argument("--pack", action="store_true",
+                    help="int4-packed count streams for backend=window "
+                         "(halves the dominant DMA stream; needs "
+                         "window>=256)")
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="bfloat16",
@@ -93,7 +97,8 @@ def main() -> int:
     n_dir_edges = int(batch.edge_mask.sum())
 
     def bench_backend(backend: str, batch=batch,
-                      block_rows: int | None = None) -> float:
+                      block_rows: int | None = None,
+                      pack: bool | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
@@ -108,7 +113,8 @@ def main() -> int:
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
                 n_message_types=2 * args.types,
                 block_rows=block_rows or args.block_rows,
-                with_grad=(args.mode == "train"))
+                with_grad=(args.mode == "train"),
+                pack_counts=args.pack if pack is None else pack)
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":
             from ggnn_tpu.ops.scatter_pallas import (

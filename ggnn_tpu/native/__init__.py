@@ -72,6 +72,24 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ggnn_halo_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p,
                                    f32p, i32p, i32p]
     lib.ggnn_halo_free.argtypes = [ctypes.c_void_p]
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.ggnn_window_plan.restype = ctypes.c_void_p
+    lib.ggnn_window_plan.argtypes = [ctypes.c_int64, i64p, i64p,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int32,
+                                     ctypes.c_int32]
+    lib.ggnn_window_plan_sizes.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.ggnn_window_plan_export.argtypes = [ctypes.c_void_p, u8p, i64p, i64p]
+    lib.ggnn_window_fill_counts.argtypes = [ctypes.c_void_p, i64p,
+                                            ctypes.c_int64, ctypes.c_int32,
+                                            i8p]
+    lib.ggnn_window_fill_counts_t.argtypes = [ctypes.c_void_p, i64p,
+                                              ctypes.c_int64, ctypes.c_int32,
+                                              i8p]
+    lib.ggnn_window_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -173,3 +191,81 @@ def halo_plan_native(src, dst, typ, n_shards: int, n_local: int,
                 "e_local": E, "halo_size": Hs}
     finally:
         lib.ggnn_halo_free(h)
+
+
+class WindowPlanNative:
+    """Native window-layout plan (see ggnn_host.cpp ggnn_window_plan):
+    one radix sort replaces the numpy path's np.unique/np.add.at passes.
+
+    Usage (mirrors the middle of ops.window_pallas.build_window_layout):
+      plan = WindowPlanNative(rows, dst, window, block_rows, n_wins,
+                              n_blocks, min_edges, max_count, want_grad)
+      if plan.ok: plan.keep / plan.dense_keys / plan.fill_counts(uniq_t, pack)
+    """
+
+    def __init__(self, rows, dst, window, block_rows, n_wins, n_blocks,
+                 min_edges, max_count, want_grad=False):
+        self._lib = _load()
+        self._h = None
+        self.ok = False
+        if self._lib is None:
+            return
+        rows = np.ascontiguousarray(rows, np.int64)
+        dst = np.ascontiguousarray(dst, np.int64)
+        n = rows.shape[0]
+        h = self._lib.ggnn_window_plan(
+            n, _ptr(rows, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+            window, block_rows, n_wins, n_blocks, min_edges, max_count,
+            1 if want_grad else 0)
+        if not h:  # composite key would overflow — caller falls back
+            return
+        self._h = h
+        self.ok = True
+        self._window, self._block_rows = window, block_rows
+        nd = ctypes.c_int64()
+        ndt = ctypes.c_int64()
+        self._lib.ggnn_window_plan_sizes(h, ctypes.byref(nd),
+                                         ctypes.byref(ndt))
+        self.keep = np.empty(n, np.uint8)
+        self.dense_keys = np.empty(nd.value, np.int64)
+        self.dense_keys_t = np.empty(ndt.value, np.int64)
+        self._lib.ggnn_window_plan_export(
+            h, _ptr(self.keep, ctypes.c_uint8),
+            _ptr(self.dense_keys, ctypes.c_int64),
+            _ptr(self.dense_keys_t, ctypes.c_int64))
+        self.keep = self.keep.astype(bool)
+
+    def fill_counts(self, uniq_t, pack: bool,
+                    total_tiles: int | None = None) -> np.ndarray:
+        """``total_tiles`` > len(uniq_t) appends all-zero padding tiles
+        (the pad_tiles_to static-budget case)."""
+        uniq_t = np.ascontiguousarray(uniq_t, np.int64)
+        width = self._window // 2 if pack else self._window
+        n = uniq_t.shape[0]
+        total = n if total_tiles is None else total_tiles
+        c = np.zeros((total * self._block_rows, width), np.int8)
+        self._lib.ggnn_window_fill_counts(
+            self._h, _ptr(uniq_t, ctypes.c_int64), n,
+            1 if pack else 0, _ptr(c, ctypes.c_int8))
+        return c
+
+    def fill_counts_t(self, uniq_gt, pack: bool) -> np.ndarray:
+        uniq_gt = np.ascontiguousarray(uniq_gt, np.int64)
+        width = self._block_rows // 2 if pack else self._block_rows
+        ct = np.empty((uniq_gt.shape[0] * self._window, width), np.int8)
+        self._lib.ggnn_window_fill_counts_t(
+            self._h, _ptr(uniq_gt, ctypes.c_int64), uniq_gt.shape[0],
+            1 if pack else 0, _ptr(ct, ctypes.c_int8))
+        return ct
+
+    def close(self):
+        if self._h is not None:
+            self._lib.ggnn_window_free(self._h)
+            self._h = None
+            self.ok = False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -344,4 +344,211 @@ void ggnn_halo_fill(void* h, int32_t* esg, int32_t* esh, int32_t* edl,
 
 void ggnn_halo_free(void* h) { delete static_cast<HaloPlan*>(h); }
 
+// ---- Windowed block-CSR layout plan (mirrors ops/window_pallas.py) -------
+//
+// The numpy builder is np.unique/np.add.at-dominated (tens of seconds at
+// 8M edges on this 2-core host).  Here ONE LSD radix sort on the composed
+// key  ((block·n_wins + win)·window + row%window)·block_rows + dst%block_rows
+// yields, in a single sorted pass: per-tile edge counts (dense/spill
+// decision), per-(row,dst)-pair run lengths (int8/int4 saturation spill),
+// and a cache-local order for filling the count streams (packed nibbles
+// written directly — no full-width intermediate).
+
+}  // extern "C"
+
+struct WindowPlan {
+  int64_t n = 0, window = 0, block_rows = 0, n_wins = 0, n_blocks = 0;
+  std::vector<int64_t> rows, dst;   // input copies
+  std::vector<int64_t> ord;         // edge ids sorted by composite key
+  std::vector<uint8_t> keep;        // per original edge
+  std::vector<int64_t> dense_keys;  // ascending unique keys of kept edges
+  std::vector<int64_t> dense_keys_t;  // same, transposed key (if requested)
+};
+
+namespace {
+
+// LSD radix sort of `idx` by key(idx[i]), 16-bit digits, passes sized to
+// the maximum key (same scheme as ggnn_sort_edges).
+template <typename KeyFn>
+void radix_by(std::vector<int64_t>& idx, KeyFn key, uint64_t max_key) {
+  int bits = 1;
+  while (max_key >> bits) ++bits;
+  std::vector<int64_t> tmp(idx.size());
+  std::vector<size_t> hist(65536);
+  for (int shift = 0; shift < bits; shift += 16) {
+    std::fill(hist.begin(), hist.end(), 0);
+    for (int64_t i : idx) hist[(key(i) >> shift) & 0xffff]++;
+    size_t sum = 0;
+    for (size_t b = 0; b < 65536; ++b) {
+      size_t c = hist[b];
+      hist[b] = sum;
+      sum += c;
+    }
+    for (int64_t i : idx) tmp[hist[(key(i) >> shift) & 0xffff]++] = i;
+    idx.swap(tmp);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns nullptr when the composite key would overflow 2^62 (caller falls
+// back to the numpy path).  max_count: 127 (int8) or 15 (packed int4).
+void* ggnn_window_plan(int64_t n, const int64_t* rows, const int64_t* dst,
+                       int64_t window, int64_t block_rows, int64_t n_wins,
+                       int64_t n_blocks, int64_t min_edges, int32_t max_count,
+                       int32_t want_grad) {
+  const double comp_max = double(n_blocks) * double(n_wins) * double(window) *
+                          double(block_rows);
+  if (comp_max >= 4.6e18) return nullptr;  // ~2^62
+  auto* p = new WindowPlan();
+  p->n = n;
+  p->window = window;
+  p->block_rows = block_rows;
+  p->n_wins = n_wins;
+  p->n_blocks = n_blocks;
+  p->rows.assign(rows, rows + n);
+  p->dst.assign(dst, dst + n);
+
+  const uint64_t tile_span = uint64_t(window) * uint64_t(block_rows);
+  auto tile_key = [&](int64_t i) -> uint64_t {
+    return uint64_t((dst[i] / block_rows) * n_wins + rows[i] / window);
+  };
+  auto comp_key = [&](int64_t i) -> uint64_t {
+    return tile_key(i) * tile_span +
+           uint64_t((rows[i] % window) * block_rows + dst[i] % block_rows);
+  };
+
+  p->ord.resize(n);
+  std::iota(p->ord.begin(), p->ord.end(), 0);
+  radix_by(p->ord, comp_key, uint64_t(comp_max));
+
+  // per-tile-key counts over ALL edges (the dense decision predates the
+  // saturation filter — numpy-path semantics), then keep =
+  // dense[key] && pair_run <= max_count
+  p->keep.assign(n, 0);
+  int64_t i = 0;
+  while (i < n) {
+    uint64_t k = tile_key(p->ord[i]);
+    int64_t j = i;  // [i, j): this tile's edges (contiguous in comp order)
+    while (j < n && tile_key(p->ord[j]) == k) ++j;
+    const bool dense = (j - i) >= min_edges;
+    int64_t r = i;
+    while (r < j) {  // pair runs within the tile
+      uint64_t ck = comp_key(p->ord[r]);
+      int64_t r2 = r;
+      while (r2 < j && comp_key(p->ord[r2]) == ck) ++r2;
+      const uint8_t ok = (r2 - r) <= max_count;
+      for (int64_t q = r; q < r2; ++q) p->keep[p->ord[q]] = dense && ok;
+      r = r2;
+    }
+    if (dense) {
+      bool any = false;
+      for (int64_t q = i; q < j && !any; ++q) any = p->keep[p->ord[q]];
+      if (any) p->dense_keys.push_back(int64_t(k));
+    }
+    i = j;
+  }
+
+  if (want_grad) {
+    // unique transposed keys (win·n_blocks + block) of kept edges
+    std::vector<int64_t> kept;
+    kept.reserve(n);
+    for (int64_t e = 0; e < n; ++e)
+      if (p->keep[e]) kept.push_back(e);
+    auto tkey = [&](int64_t i) -> uint64_t {
+      return uint64_t((rows[i] / window) * n_blocks + dst[i] / block_rows);
+    };
+    radix_by(kept, tkey, uint64_t(n_wins) * uint64_t(n_blocks));
+    uint64_t prev = ~uint64_t(0);
+    for (int64_t e : kept) {
+      uint64_t k = tkey(e);
+      if (k != prev) p->dense_keys_t.push_back(int64_t(k));
+      prev = k;
+    }
+  }
+  return p;
+}
+
+void ggnn_window_plan_sizes(void* h, int64_t* n_dense_keys,
+                            int64_t* n_dense_keys_t) {
+  auto* p = static_cast<WindowPlan*>(h);
+  *n_dense_keys = int64_t(p->dense_keys.size());
+  *n_dense_keys_t = int64_t(p->dense_keys_t.size());
+}
+
+void ggnn_window_plan_export(void* h, uint8_t* keep, int64_t* dense_keys,
+                             int64_t* dense_keys_t) {
+  auto* p = static_cast<WindowPlan*>(h);
+  std::memcpy(keep, p->keep.data(), p->keep.size());
+  std::memcpy(dense_keys, p->dense_keys.data(),
+              p->dense_keys.size() * sizeof(int64_t));
+  if (!p->dense_keys_t.empty())
+    std::memcpy(dense_keys_t, p->dense_keys_t.data(),
+                p->dense_keys_t.size() * sizeof(int64_t));
+}
+
+// Fill the forward count stream c [n_tiles·block_rows, window (or /2)].
+// uniq_t: ascending tile keys INCLUDING the per-block dummies the python
+// side merges in.  pack: int4 nibble pairs (low = col<W/2, high otherwise).
+void ggnn_window_fill_counts(void* h, const int64_t* uniq_t, int64_t n_tiles,
+                             int32_t pack, int8_t* c) {
+  auto* p = static_cast<WindowPlan*>(h);
+  const int64_t W = p->window, BR = p->block_rows;
+  const int64_t width = pack ? W / 2 : W;
+  std::memset(c, 0, size_t(n_tiles) * BR * width);
+  const int64_t* u_end = uniq_t + n_tiles;
+  int64_t last_key = -1, last_tile = 0;
+  for (int64_t s = 0; s < p->n; ++s) {
+    const int64_t e = p->ord[s];
+    if (!p->keep[e]) continue;
+    const int64_t key = (p->dst[e] / BR) * p->n_wins + p->rows[e] / W;
+    if (key != last_key) {
+      last_tile = std::lower_bound(uniq_t, u_end, key) - uniq_t;
+      last_key = key;
+    }
+    const int64_t r = last_tile * BR + p->dst[e] % BR;
+    const int64_t col = p->rows[e] % W;
+    if (pack) {
+      uint8_t* b = reinterpret_cast<uint8_t*>(c) + r * width +
+                   (col < width ? col : col - width);
+      *b += (col < width) ? 1 : 16;
+    } else {
+      c[r * W + col] += 1;
+    }
+  }
+}
+
+// Fill the transposed (backward) stream ct [n_gt·window, block_rows (or /2)].
+void ggnn_window_fill_counts_t(void* h, const int64_t* uniq_gt, int64_t n_gt,
+                               int32_t pack, int8_t* ct) {
+  auto* p = static_cast<WindowPlan*>(h);
+  const int64_t W = p->window, BR = p->block_rows;
+  const int64_t width = pack ? BR / 2 : BR;
+  std::memset(ct, 0, size_t(n_gt) * W * width);
+  const int64_t* u_end = uniq_gt + n_gt;
+  int64_t last_key = -1, last_tile = 0;
+  for (int64_t s = 0; s < p->n; ++s) {
+    const int64_t e = p->ord[s];
+    if (!p->keep[e]) continue;
+    const int64_t key = (p->rows[e] / W) * p->n_blocks + p->dst[e] / BR;
+    if (key != last_key) {
+      last_tile = std::lower_bound(uniq_gt, u_end, key) - uniq_gt;
+      last_key = key;
+    }
+    const int64_t r = last_tile * W + p->rows[e] % W;
+    const int64_t col = p->dst[e] % BR;
+    if (pack) {
+      uint8_t* b = reinterpret_cast<uint8_t*>(ct) + r * width +
+                   (col < width ? col : col - width);
+      *b += (col < width) ? 1 : 16;
+    } else {
+      ct[r * BR + col] += 1;
+    }
+  }
+}
+
+void ggnn_window_free(void* h) { delete static_cast<WindowPlan*>(h); }
+
 }  // extern "C"

@@ -99,9 +99,10 @@ def _pack_nibbles(c: np.ndarray) -> np.ndarray:
     high nibble = col w + W/2 (so the kernel's mask/shift recovers the two
     contiguous window halves without any lane interleave)."""
     half = c.shape[1] // 2
-    lo = c[:, :half].astype(np.uint8)
-    hi = c[:, half:].astype(np.uint8)
-    return (lo | (hi << 4)).view(np.int8)
+    out = c[:, half:].astype(np.uint8)   # the one unavoidable copy
+    out <<= 4
+    np.bitwise_or(out, c[:, :half].view(np.uint8), out=out)
+    return out.view(np.int8)
 
 
 def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
@@ -116,7 +117,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         spill_pad_tiles_to: int | None = None,
                         force_spill: bool = False,
                         block_rows: int = BLOCK_N,
-                        pack_counts: bool = False) -> DeviceWindowLayout:
+                        pack_counts: bool = False,
+                        use_native: bool | None = None) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -173,18 +175,38 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     block = dst // block_rows
     n_blocks = n_nodes_pad // block_rows
     key = block * n_wins + win
+    max_count = 15 if pack_fwd else 127
 
-    uniq, inv, counts = np.unique(key, return_inverse=True,
-                                  return_counts=True)
-    dense = counts >= min_edges_per_tile
-    keep = dense[inv]
-    # int8 count saturation: multigraph pairs repeating >127x (hub-hub
-    # edges in scale-free graphs) spill to the per-edge path, which
-    # handles duplicates naturally
-    pair = rows * np.int64(n_nodes_pad) + dst
-    _, pinv, pcounts = np.unique(pair, return_inverse=True,
-                                 return_counts=True)
-    keep &= pcounts[pinv] <= (15 if pack_fwd else 127)
+    # native (C++) plan: one radix sort replaces the np.unique passes and
+    # the count-stream np.add.at fills (np.unique dominated the host build
+    # at 8M+ edges — CLAUDE.md round-3 lead); numpy path kept as the
+    # reference fallback, tested identical in tests/test_native.py
+    plan = None
+    if use_native is None:
+        use_native = n_edges >= 200_000
+    if use_native:
+        from ggnn_tpu import native as _native
+        if _native.available():
+            plan = _native.WindowPlanNative(
+                rows, dst, window, block_rows, n_wins, n_blocks,
+                min_edges_per_tile, max_count, want_grad=with_grad)
+            if not plan.ok:
+                plan = None
+
+    if plan is not None:
+        keep = plan.keep
+    else:
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        dense = counts >= min_edges_per_tile
+        keep = dense[inv]
+        # int8/int4 count saturation: multigraph pairs repeating >max_count
+        # times (hub-hub edges in scale-free graphs) spill to the per-edge
+        # path, which handles duplicates naturally
+        pair = rows * np.int64(n_nodes_pad) + dst
+        _, pinv, pcounts = np.unique(pair, return_inverse=True,
+                                     return_counts=True)
+        keep &= pcounts[pinv] <= max_count
 
     # spill: low-occupancy tiles go to the per-edge one-hot path
     spill = None
@@ -215,9 +237,9 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
 
     # dense tiles (+ one dummy all-zero tile per block so the kernel's
     # first-tile zero-init covers every output block)
-    key_d = key[keep]
     dummy = np.arange(n_blocks, dtype=np.int64) * n_wins
-    uniq_t = np.unique(np.concatenate([key_d, dummy]))
+    uniq_t = np.unique(np.concatenate(
+        [plan.dense_keys if plan is not None else key[keep], dummy]))
     n_tiles = uniq_t.shape[0]
     block_of_tile = (uniq_t // n_wins).astype(np.int32)
     win_of_tile = (uniq_t % n_wins).astype(np.int32)
@@ -240,16 +262,20 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             tile_start[-1] += extra
             n_tiles = pad_tiles_to
 
-    tile_of_edge = np.searchsorted(uniq_t, key_d)
-    c = np.zeros((n_tiles * block_rows, window), np.int8)
-    np.add.at(c, (tile_of_edge * block_rows
-                  + (dst[keep] - block[keep] * block_rows),
-                  rows[keep] % window), 1)
-    if int(c.sum(dtype=np.int64)) != int(keep.sum()):
-        raise ValueError("count-matrix overflow: >127 duplicate edges for "
-                         "one (dst, table-row) pair within a tile")
-    if pack_fwd:
-        c = _pack_nibbles(c)
+    if plan is not None:
+        # (saturation is guaranteed by the plan's max_count pair filter)
+        c = plan.fill_counts(uniq_t, pack_fwd, total_tiles=n_tiles)
+    else:
+        tile_of_edge = np.searchsorted(uniq_t, key[keep])
+        c = np.zeros((n_tiles * block_rows, window), np.int8)
+        np.add.at(c, (tile_of_edge * block_rows
+                      + (dst[keep] - block[keep] * block_rows),
+                      rows[keep] % window), 1)
+        if int(c.sum(dtype=np.int64)) != int(keep.sum()):
+            raise ValueError("count-matrix overflow: >127 duplicate edges "
+                             "for one (dst, table-row) pair within a tile")
+        if pack_fwd:
+            c = _pack_nibbles(c)
 
     arrays = {"c_stream": jnp.asarray(c),
               "tile_start": jnp.asarray(tile_start),
@@ -266,21 +292,26 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         # transposed tiles for the backward pass Y = Cᵀ·da: out blocks are
         # W-row table ranges (every window gets ≥1 tile so its Y rows are
         # initialized), input blocks are the 128-row dst blocks of da
-        key_t = win[keep] * n_blocks + block[keep]
         uniq_gt = np.unique(np.concatenate(
-            [key_t, np.arange(n_wins, dtype=np.int64) * n_blocks]))
+            [plan.dense_keys_t if plan is not None
+             else win[keep] * n_blocks + block[keep],
+             np.arange(n_wins, dtype=np.int64) * n_blocks]))
         n_gt = uniq_gt.shape[0]
         gt_block = (uniq_gt // n_blocks).astype(np.int32)   # out: window idx
         gt_win = (uniq_gt % n_blocks).astype(np.int32)      # in: dst block
         gt_counts = np.bincount(gt_block, minlength=n_wins)
         gt_start = np.zeros(n_wins + 1, np.int32)
         np.cumsum(gt_counts, out=gt_start[1:])
-        gt_of_edge = np.searchsorted(uniq_gt, key_t)
-        ct = np.zeros((n_gt * window, block_rows), np.int8)
-        np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
-                       dst[keep] - block[keep] * block_rows), 1)
-        if pack_bwd:
-            ct = _pack_nibbles(ct)
+        if plan is not None:
+            ct = plan.fill_counts_t(uniq_gt, pack_bwd)
+        else:
+            key_t = win[keep] * n_blocks + block[keep]
+            gt_of_edge = np.searchsorted(uniq_gt, key_t)
+            ct = np.zeros((n_gt * window, block_rows), np.int8)
+            np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
+                           dst[keep] - block[keep] * block_rows), 1)
+            if pack_bwd:
+                ct = _pack_nibbles(ct)
         arrays.update(ct_stream=jnp.asarray(ct),
                       gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
@@ -316,7 +347,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
 def window_layout_for_batch(batch, window: int = 512,
                             min_edges_per_tile: int = 32,
                             spill_tile_e: int = 128,
-                            block_rows: int = BLOCK_N) -> DeviceWindowLayout:
+                            block_rows: int = BLOCK_N,
+                            pack_counts: bool = False) -> DeviceWindowLayout:
     """Static-budget windowed layout for a GraphBatch: tile counts padded
     to topology-independent bounds (dense tiles ≤ e_pad/min_edges + one
     dummy per block; spill ≤ the one-hot static budget), so a jitted
@@ -331,7 +363,7 @@ def window_layout_for_batch(batch, window: int = 512,
         n_dst, window=window, min_edges_per_tile=min_edges_per_tile,
         spill_tile_e=spill_tile_e, n_message_types=t2, row_major="src",
         n_src_rows=spec.n_pad, block_rows=block_rows,
-        pad_tiles_to=budget, force_spill=True,
+        pad_tiles_to=budget, force_spill=True, pack_counts=pack_counts,
         spill_pad_tiles_to=static_tile_budget(spec.e_pad, n_dst,
                                               spill_tile_e))
 
@@ -442,11 +474,13 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         c.wait()
         if packed:
             # int4 pairs: low nibble = window cols [0, W/2), high nibble =
-            # [W/2, W).  Arithmetic int8 shift then &15 recovers the high
-            # nibble regardless of the sign bit; two half-window MXU
-            # matmuls replace the full-width one (same FLOPs, half the
-            # count-stream DMA bytes — the dominant stream).
-            cp = c_buf[slot]
+            # [W/2, W).  The shift runs on an int32 WIDENING of the bytes —
+            # Mosaic has no int8 vector shift (arith.shrsi on i8 fails to
+            # legalize); sign-extension then &15 still recovers both
+            # nibbles exactly.  Two half-window MXU matmuls replace the
+            # full-width one (same FLOPs, half the count-stream DMA bytes
+            # — the dominant stream).
+            cp = c_buf[slot].astype(jnp.int32)
             half = window // 2
             lo = (cp & 15).astype(tbl_buf.dtype)
             hi = ((cp >> 4) & 15).astype(tbl_buf.dtype)

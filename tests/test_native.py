@@ -81,3 +81,33 @@ def test_native_halo_plan_matches_python(rng):
                  "annotations", "node_mask", "node_graph"):
         np.testing.assert_array_equal(getattr(py, name), getattr(cc, name),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("with_grad", [False, True])
+def test_native_window_layout_matches_python(rng, pack, with_grad):
+    """The C++ window plan (radix sort + direct count fill) produces
+    bit-identical layouts to the numpy path, incl. saturation spill,
+    int4 packing, grad streams, and static tile-budget padding."""
+    from ggnn_tpu.ops.window_pallas import build_window_layout
+    N, E, T2 = 512, 5000, 6
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    typ = rng.integers(0, T2, E).astype(np.int32)
+    mask = (rng.random(E) > 0.1).astype(np.float32)
+    # duplicate a handful of edges heavily to exercise saturation spill
+    src[:40] = 3; dst[:40] = 7; typ[:40] = 1; mask[:40] = 1.0
+    kw = dict(window=256, min_edges_per_tile=3, spill_tile_e=8,
+              n_message_types=T2, block_rows=256, with_grad=with_grad,
+              pack_counts=pack, pad_tiles_to=64)
+    lay_py = build_window_layout(src, dst, typ, mask, N, use_native=False,
+                                 **kw)
+    lay_cc = build_window_layout(src, dst, typ, mask, N, use_native=True,
+                                 **kw)
+    assert lay_py.meta == lay_cc.meta
+    assert lay_py.stats == lay_cc.stats
+    assert set(lay_py.arrays) == set(lay_cc.arrays)
+    for k in lay_py.arrays:
+        np.testing.assert_array_equal(np.asarray(lay_py.arrays[k]),
+                                      np.asarray(lay_cc.arrays[k]),
+                                      err_msg=k)
