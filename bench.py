@@ -63,6 +63,9 @@ def build_args():
                     help="int4-packed count streams for backend=window "
                          "(halves the dominant DMA stream; needs "
                          "window>=256)")
+    ap.add_argument("--fuse_gru", action="store_true",
+                    help="backend=window fwd: GRU in the kernel epilogue "
+                         "(serving path)")
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="bfloat16",

@@ -34,6 +34,9 @@ class ModelConfig:
                                   # path node per round, paper's alternative)
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas' | 'onehot' | 'window'
+    fuse_gru: bool = False        # backend='window' forward: run the GRU in
+                                  # the window kernel's epilogue (serving
+                                  # path; gate matmuls bf16-in/f32-acc)
     param_dtype: str = "float32"
 
     def __post_init__(self):
@@ -41,6 +44,8 @@ class ModelConfig:
             raise ValueError(
                 f"unknown backend {self.backend!r}: expected "
                 "'xla' | 'pallas' | 'onehot' | 'window'")
+        if self.fuse_gru and self.backend != "window":
+            raise ValueError("fuse_gru needs backend='window'")
         if self.edge_gates and self.backend in ("onehot", "window"):
             # count-matrix / one-hot layouts are topology-only and cannot
             # carry per-edge data-dependent gates

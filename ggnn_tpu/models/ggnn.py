@@ -120,18 +120,28 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         # block-CSR windowed aggregation (ops/window_pallas.py): the
         # clustered-graph fast path — no per-edge random access; spilled
         # low-locality edges ride the one-hot path inside aggregate_window
-        from ggnn_tpu.ops.window_pallas import aggregate_window
+        from ggnn_tpu.ops.window_pallas import (aggregate_window,
+                                                gru_window_step)
         if scatter_layout is None:
             raise ValueError(
                 "backend='window' needs a precomputed layout: "
                 "build_window_layout(...) outside jit, passed through the "
                 "jitted function's arguments as scatter_layout")
 
-        def step(h, _):
-            a = aggregate_window(h.astype(cdt), scatter_layout, msg_w_c,
-                                 msg_b_c)
-            h_new = gru_update(prop["gru"], h, a, fused)
-            return h_new, h_new if collect_states else None
+        if cfg.fuse_gru:
+            # serving-path fusion: the GRU runs in the window kernel's
+            # epilogue on the VMEM-resident aggregation (no [N,D] a
+            # round-trip).  Forward-only — the VJP needs materialized a.
+            def step(h, _):
+                h_new = gru_window_step(h, scatter_layout, msg_w_c, msg_b_c,
+                                        prop["gru"])
+                return h_new, h_new if collect_states else None
+        else:
+            def step(h, _):
+                a = aggregate_window(h.astype(cdt), scatter_layout, msg_w_c,
+                                     msg_b_c)
+                h_new = gru_update(prop["gru"], h, a, fused)
+                return h_new, h_new if collect_states else None
     elif cfg.backend == "pallas":
         from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
                                               typed_aggregate_tiled)

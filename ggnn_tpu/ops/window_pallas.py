@@ -578,6 +578,264 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     )(block_of_tile, win_of_tile, tile_start, table, c_stream)
 
 
+def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
+                        table_hbm, c_hbm, init_hbm, h_hbm, wa_ref, b_ref,
+                        uzr_ref, uh_ref, out_hbm, acc, tbl_buf, c_buf,
+                        init_buf, h_buf, tbl_sem, c_sem, init_sem, h_sem,
+                        out_sem, *, window, nbuf, blocks_per_prog, block_n,
+                        packed, has_init):
+    """Fused propagation step: window accumulation + GRU epilogue.
+
+    Same DMA-ring structure as :func:`_window_mono_kernel`, plus per dst
+    block: the accumulator initializes from ``init_hbm`` (the spill path's
+    aggregation — computed BEFORE this kernel so the epilogue sees the
+    complete ``a``), and at the block's last tile the GRU update
+    (SURVEY.md §2.3) runs in-kernel on the VMEM-resident ``a`` —
+    eliminating the [N,D] a-write/read round-trip and the separate GRU
+    pass (measured 3.6 ms/step at 262K nodes).  Gate matmuls take bf16
+    inputs with f32 accumulation (MXU-native); state h stays f32.
+    Forward-only: training uses the unfused path (custom VJP needs ``a``)."""
+    p = pl.program_id(0)
+    b0 = p * blocks_per_prog
+    t0 = tile_start_ref[b0]
+    t1 = tile_start_ref[b0 + blocks_per_prog]
+    D = out_hbm.shape[-1]
+
+    def in_dma(slot, t):
+        w = win_of_tile_ref[t]
+        m = pltpu.make_async_copy(
+            table_hbm.at[pl.ds(w * window, window), :],
+            tbl_buf.at[slot], tbl_sem.at[slot])
+        c = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(t * block_n, block_n), :],
+            c_buf.at[slot], c_sem.at[slot])
+        return m, c
+
+    def st_dma(par, blk):
+        """Per-block state DMAs: spill-init (consumed at the block's first
+        tile) and h (consumed by the GRU at its last tile)."""
+        dmas = [pltpu.make_async_copy(
+            h_hbm.at[pl.ds(blk * block_n, block_n), :],
+            h_buf.at[par], h_sem.at[par])]
+        if has_init:
+            dmas.append(pltpu.make_async_copy(
+                init_hbm.at[pl.ds(blk * block_n, block_n), :],
+                init_buf.at[par], init_sem.at[par]))
+        return dmas
+
+    def out_dma(par, blk):
+        return pltpu.make_async_copy(
+            acc.at[par], out_hbm.at[pl.ds(blk * block_n, block_n), :],
+            out_sem.at[par])
+
+    def prolog(k, _):
+        @pl.when(t0 + k < t1)
+        def _():
+            m, c = in_dma(k, t0 + k)
+            m.start()
+            c.start()
+        return 0
+
+    jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+    for d in st_dma(0, b0):
+        d.start()
+    if blocks_per_prog >= 2:
+        for d in st_dma(1, b0 + 1):
+            d.start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, nbuf)
+        blk = block_of_tile_ref[t]
+        par = jax.lax.rem(blk - b0, 2)
+        first = t == tile_start_ref[blk]
+        last = t == tile_start_ref[blk + 1] - 1
+
+        @pl.when(jnp.logical_and(first, blk - b0 >= 2))
+        def _():
+            out_dma(par, blk - 2).wait()
+
+        m, c = in_dma(slot, t)
+        m.wait()
+        c.wait()
+        if packed:
+            cp = c_buf[slot].astype(jnp.int32)
+            half = window // 2
+            lo = (cp & 15).astype(tbl_buf.dtype)
+            hi = ((cp >> 4) & 15).astype(tbl_buf.dtype)
+            prod = (jnp.dot(lo, tbl_buf[slot, :half],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(hi, tbl_buf[slot, half:],
+                              preferred_element_type=jnp.float32))
+        else:
+            prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
+                           preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            for d in st_dma(par, blk):
+                d.wait()
+            if has_init:
+                acc[par] = init_buf[par] + prod
+            else:
+                acc[par] = prod
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc[par] = acc[par] + prod
+
+        @pl.when(t + nbuf < t1)
+        def _():
+            m2, c2 = in_dma(slot, t + nbuf)
+            m2.start()
+            c2.start()
+
+        @pl.when(last)
+        def _():
+            a = acc[par]
+            hblk = h_buf[par]
+            cdt = wa_ref.dtype
+            pa = jnp.dot(a.astype(cdt), wa_ref[...],
+                         preferred_element_type=jnp.float32) + b_ref[...]
+            ph = jnp.dot(hblk.astype(cdt), uzr_ref[...],
+                         preferred_element_type=jnp.float32)
+            z = jax.nn.sigmoid(pa[:, :D] + ph[:, :D])
+            r = jax.nn.sigmoid(pa[:, D:2 * D] + ph[:, D:])
+            htil = jnp.tanh(pa[:, 2 * D:]
+                            + jnp.dot((r * hblk).astype(cdt), uh_ref[...],
+                                      preferred_element_type=jnp.float32))
+            acc[par] = (1.0 - z) * hblk + z * htil
+            out_dma(par, blk).start()
+
+            @pl.when(blk + 2 < b0 + blocks_per_prog)
+            def _():
+                for d in st_dma(par, blk + 2):
+                    d.start()
+
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    last_blk = b0 + blocks_per_prog - 1
+    if blocks_per_prog >= 2:
+        out_dma(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1).wait()
+    out_dma(jax.lax.rem(last_blk - b0, 2), last_blk).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "window", "n_progs", "nbuf",
+                                    "out_rows", "packed", "has_init",
+                                    "interpret"))
+def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
+                    init, h, wa, b3, uzr, uh, n_blocks: int, window: int,
+                    n_progs: int = 1, nbuf: int = 6,
+                    out_rows: int = BLOCK_N, packed: bool = False,
+                    has_init: bool = True, interpret: bool = False):
+    """Fused window-aggregation + GRU step (see :func:`_window_step_kernel`).
+
+    ``init`` [n_blocks·out_rows, D] f32: spill-path partial aggregation
+    (ignored when ``has_init=False``); ``h`` [n_blocks·out_rows, D] f32;
+    ``wa`` [D, 3D] / ``uzr`` [D, 2D] / ``uh`` [D, D] fused GRU weights in
+    the compute dtype, ``b3`` [1, 3D] f32.  Returns h_new (f32)."""
+    R, D = table.shape
+    if R % window:
+        raise ValueError("table rows must be a multiple of window")
+    if n_blocks % n_progs:
+        raise ValueError("n_progs must divide n_blocks")
+    c_cols = window // 2 if packed else window
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_progs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, out_rows, D), jnp.float32),
+            pltpu.VMEM((nbuf, window, D), table.dtype),
+            pltpu.VMEM((nbuf, out_rows, c_cols), c_stream.dtype),
+            pltpu.VMEM((2, out_rows, D), jnp.float32),
+            pltpu.VMEM((2, out_rows, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_window_step_kernel, window=window, nbuf=nbuf,
+                               blocks_per_prog=n_blocks // n_progs,
+                               block_n=out_rows, packed=packed,
+                               has_init=has_init)
+    n_tiles = c_stream.shape[0] // out_rows
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * out_rows, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * out_rows * window * D
+            + n_blocks * out_rows * D * 6 * D * 2,
+            bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
+                                      + out_rows * c_cols)
+            + n_blocks * out_rows * D * 4 * (3 if has_init else 2),
+            transcendentals=3 * n_blocks * out_rows * D,
+        ),
+    )(block_of_tile, win_of_tile, tile_start, table, c_stream, init, h,
+      wa, b3, uzr, uh)
+
+
+def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
+                    interpret: bool | None = None):
+    """One full propagation step h → h' through the fused kernel:
+    table einsum → spill partial aggregation → fused window-accumulate +
+    GRU epilogue.  Numerically the gate matmuls run bf16-in/f32-acc when
+    ``msg_w`` is bf16 (vs f32 in the unfused path) — serving-path use;
+    training uses :func:`aggregate_window` + the XLA GRU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
+     block_rows) = layout.meta[:8]
+    pack_fwd = layout.meta[8][0] if len(layout.meta) > 8 else False
+    if row_major != "src":
+        raise ValueError("gru_window_step needs a row_major='src' layout")
+    arrs = layout.arrays
+    N, D = h.shape
+    cdt = msg_w.dtype
+    transformed = jnp.einsum("nd,tdf->ntf", h.astype(cdt), msg_w,
+                             preferred_element_type=jnp.float32) \
+        + msg_b[None, :, :]
+    table = transformed.reshape(-1, D).astype(cdt)
+    pad = (-table.shape[0]) % W
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+    n_rows = n_blocks * block_rows
+    has_init = spill_meta is not None
+    if has_init:
+        _, s_tile_e, _, s_blocks, _, _ = spill_meta
+        msgs = table[arrs["s_gather_idx"]]
+        init = onehot_segment_scatter_flat(
+            msgs, arrs["s_onehot"], arrs["s_tile_start"],
+            arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
+            interpret=interpret)
+    else:
+        init = jnp.zeros((n_rows, D), jnp.float32)
+    h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
+    wa = jnp.concatenate([gru["wz"], gru["wr"], gru["wh"]], axis=1)
+    b3 = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]])[None, :]
+    uzr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
+    h_new = window_step_gru(
+        table, arrs["c_stream"], arrs["tile_start"], arrs["block_of_tile"],
+        arrs["win_of_tile"], init, h_pad, wa.astype(cdt),
+        b3.astype(jnp.float32), uzr.astype(cdt), gru["uh"].astype(cdt),
+        n_blocks=n_blocks, window=W, out_rows=block_rows, packed=pack_fwd,
+        has_init=has_init, interpret=interpret)
+    return h_new[:N]
+
+
 def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
                      interpret: bool | None = None):
     """Full typed aggregation via the windowed block-CSR path (+ spill).

@@ -110,6 +110,61 @@ def test_window_packed_saturation_and_guards(rng):
     assert lay_bw.packed == (True, False)
 
 
+@pytest.mark.parametrize("pack,min_edges", [(False, 3), (True, 3),
+                                            (False, 150), (False, 10_000)])
+def test_fused_gru_step_parity(rng, pack, min_edges):
+    """gru_window_step (window accumulate + in-kernel GRU epilogue) matches
+    the unfused aggregate_window + gru_update step — all-dense (3), mixed
+    window+spill (150), and all-spill/init-only (10000)."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+    N, E, T2, D = 512, 3000, 4, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=min_edges, spill_tile_e=8,
+                              n_message_types=T2, block_rows=256,
+                              pack_counts=pack)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prop = params["prop"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    a = aggregate_window(h, lay, prop["msg_w"], prop["msg_b"],
+                         interpret=True)
+    ref = gru_update(prop["gru"], h, a)
+    got = gru_window_step(h, lay, prop["msg_w"], prop["msg_b"], prop["gru"],
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_propagate_fused_backend(rng):
+    """Full T-step propagation with backend='window', fuse_gru=True matches
+    the XLA path (scan, layout through jit args)."""
+    from ggnn_tpu.models import propagate
+    N, E, T2 = 512, 2500, 6
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=3, spill_tile_e=8,
+                              n_message_types=T2, block_rows=256)
+    mk = dict(state_dim=8, annotation_dim=2, n_edge_types=3, n_steps=3)
+    cfg_x = ModelConfig(**mk)
+    cfg_f = ModelConfig(**mk, backend="window", fuse_gru=True)
+    params = init_params(jax.random.PRNGKey(4), cfg_x)
+    ann = jnp.asarray((np.random.default_rng(0).random((N, 2)) < 0.5)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+    ref = propagate(params["prop"], cfg_x, *args)
+
+    @jax.jit
+    def run(p, lay, *args):
+        return propagate(p, cfg_f, *args, scatter_layout=lay)
+
+    got = run(params["prop"], lay, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-6)
+
+
 def test_window_layout_stats(rng):
     """Community graph: dense tiles capture the intra-community mass and
     the spill fraction tracks the cross-community rate."""
