@@ -101,12 +101,17 @@ def main() -> int:
 
     def bench_backend(backend: str, batch=batch,
                       block_rows: int | None = None,
-                      pack: bool | None = None) -> float:
+                      pack: bool | None = None,
+                      fuse_gru: bool | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
+        if fuse_gru is None:
+            fuse_gru = args.fuse_gru
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
-                          compute_dtype=args.dtype)
+                          compute_dtype=args.dtype,
+                          fuse_gru=(fuse_gru and backend == "window"
+                                    and args.mode == "fwd"))
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "window":
@@ -237,7 +242,7 @@ def main() -> int:
                 seed=0, node_mult=128,
                 n_communities=max(args.nodes // 512, 1), p_intra=0.95)
             results["window_community"] = bench_backend(
-                "window", batch=comm, block_rows=512)
+                "window", batch=comm, block_rows=512, fuse_gru=True)
             print(f"# window_community: {results['window_community']:.3e} "
                   f"edges/s", file=sys.stderr)
         except Exception as e:
