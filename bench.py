@@ -122,7 +122,9 @@ def main() -> int:
                 n_message_types=2 * args.types,
                 block_rows=block_rows or args.block_rows,
                 with_grad=(args.mode == "train"),
-                pack_counts=args.pack if pack is None else pack)
+                pack_counts=args.pack if pack is None else pack,
+                row_major=("block" if batch.spec.n_pad % 128 == 0
+                           else "src"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
         elif backend == "onehot":
             from ggnn_tpu.ops.scatter_pallas import (

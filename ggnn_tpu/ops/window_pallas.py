@@ -125,7 +125,15 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     Topology-static — built once per batch, reused across steps/rounds.
 
     ``row_major`` picks the node-transform table layout:
-    - ``'src'`` (default): row = src·T2 + t  (einsum ``nd,tdf->ntf``) —
+    - ``'block'`` (production): row = (src//128)·T2·128 + t·128 + src%128 —
+      same tile count and locality as 'src', but the table materializes
+      through a Pallas kernel (:func:`node_table_block_major`) as 16
+      full-MXU [128,D]@[D,D] dots per src block, writing the final [R, D]
+      layout directly.  The XLA einsum forms all pay a ~3.5 ms hidden
+      lane-relayout ([N, T2·D] → [N·T2, D]) + unfused bias at 262K
+      nodes/D=128; this kernel runs at the write-bandwidth floor
+      (5.3 ms → 1.8 ms measured).  Needs n_src_rows % 128 == 0.
+    - ``'src'``: row = src·T2 + t  (einsum ``nd,tdf->ntf``) —
       a community's rows across ALL message types are contiguous, so one
       window of ``csize·T2`` rows covers a dst block's whole in-edge set:
       ~T2× fewer, bigger tiles than type-major (amortizes per-tile cost).
@@ -149,8 +157,9 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         raise ValueError(f"block_rows must be a multiple of {BLOCK_N}")
     if n_nodes_pad % block_rows:
         raise ValueError("n_nodes_pad must be a multiple of block_rows")
-    if row_major not in ("src", "type"):
-        raise ValueError(f"row_major must be 'src' or 'type': {row_major!r}")
+    if row_major not in ("block", "src", "type"):
+        raise ValueError(
+            f"row_major must be 'block', 'src' or 'type': {row_major!r}")
     pack_fwd = pack_counts and window >= 256
     pack_bwd = pack_counts and block_rows >= 256
     if pack_counts and not pack_fwd:
@@ -166,7 +175,11 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
 
     t2 = (n_message_types if n_message_types is not None
           else int(typ.max(initial=0)) + 1)
-    if row_major == "src":
+    if row_major == "block":
+        if n_src_rows % 128:
+            raise ValueError("row_major='block' needs n_src_rows % 128 == 0")
+        rows = (src // 128) * (t2 * 128) + typ * 128 + src % 128
+    elif row_major == "src":
         rows = src * t2 + typ
     else:
         rows = typ * n_src_rows + src
@@ -358,10 +371,13 @@ def window_layout_for_batch(batch, window: int = 512,
     t2 = 2 * spec.n_edge_types
     n_dst = -(-spec.n_pad // block_rows) * block_rows
     budget = spec.e_pad // min_edges_per_tile + n_dst // block_rows
+    # block-major tables materialize through the Pallas table kernel (no
+    # lane relayout); falls back to src-major when nodes aren't 128-padded
+    row_major = "block" if spec.n_pad % 128 == 0 else "src"
     return build_window_layout(
         batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
         n_dst, window=window, min_edges_per_tile=min_edges_per_tile,
-        spill_tile_e=spill_tile_e, n_message_types=t2, row_major="src",
+        spill_tile_e=spill_tile_e, n_message_types=t2, row_major=row_major,
         n_src_rows=spec.n_pad, block_rows=block_rows,
         pad_tiles_to=budget, force_spill=True, pack_counts=pack_counts,
         spill_pad_tiles_to=static_tile_budget(spec.e_pad, n_dst,
@@ -576,6 +592,78 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
             transcendentals=0,
         ),
     )(block_of_tile, win_of_tile, tile_start, table, c_stream)
+
+
+def _table_block_kernel(h_ref, w_ref, b_ref, out_ref):
+    t2 = w_ref.shape[0]
+    for t in range(t2):
+        out_ref[t * 128:(t + 1) * 128, :] = (
+            jnp.dot(h_ref[...], w_ref[t],
+                    preferred_element_type=jnp.float32)
+            + b_ref[t, :][None, :]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def node_table_block_major(h, msg_w, msg_b, interpret: bool = False):
+    """Materialize the node-transform table in BLOCK-MAJOR row order
+    (row = (src//128)·T2·128 + t·128 + src%128): per src block, T2
+    full-utilization [128, D]@[D, D] MXU dots with the bias fused, written
+    straight in the final [R, D] layout.
+
+    Every XLA lowering of the src-major table (einsum ntf, flat matmul,
+    bf16-accum, ones-augmented) pays a hidden [N, T2·D] → [N·T2, D]
+    lane-relayout plus an unfused bias pass — measured 5.3 ms vs this
+    kernel's 1.8 ms (the bf16 write-bandwidth floor) at 262K nodes,
+    T2=16, D=128 on v5e."""
+    N, D = h.shape
+    T2 = msg_w.shape[0]
+    if N % 128:
+        raise ValueError("node_table_block_major needs N % 128 == 0")
+    if msg_w.size * msg_w.dtype.itemsize > 6 * 1024 * 1024:
+        # weight bank would not fit VMEM comfortably — XLA fallback
+        t = jnp.einsum("nd,tdf->ntf", h, msg_w,
+                       preferred_element_type=jnp.float32) \
+            + msg_b[None, :, :]
+        return (t.reshape(N // 128, 128, T2, D).transpose(0, 2, 1, 3)
+                .reshape(-1, D).astype(h.dtype))
+    n_blk = N // 128
+    return pl.pallas_call(
+        _table_block_kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((128, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T2 * 128, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N * T2, D), h.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * T2 * D,
+            bytes_accessed=N * D * h.dtype.itemsize * (1 + T2),
+            transcendentals=0,
+        ),
+    )(h, msg_w, msg_b)
+
+
+def _node_table(h, msg_w, msg_b, row_major: str, interpret: bool):
+    """Node-transform table in the layout the window layout was built for."""
+    N, D = h.shape
+    if row_major == "block":
+        return node_table_block_major(h, msg_w, msg_b, interpret=interpret)
+    if row_major == "src":
+        transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
+                                 preferred_element_type=jnp.float32) \
+            + msg_b[None, :, :]
+    else:
+        transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
+                                 preferred_element_type=jnp.float32) \
+            + msg_b[:, None, :]
+    return transformed.reshape(-1, D).astype(h.dtype)
 
 
 def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
@@ -800,15 +888,13 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
      block_rows) = layout.meta[:8]
     pack_fwd = layout.meta[8][0] if len(layout.meta) > 8 else False
-    if row_major != "src":
-        raise ValueError("gru_window_step needs a row_major='src' layout")
+    if row_major not in ("block", "src"):
+        raise ValueError("gru_window_step needs a row_major='block' or "
+                         "'src' layout")
     arrs = layout.arrays
     N, D = h.shape
     cdt = msg_w.dtype
-    transformed = jnp.einsum("nd,tdf->ntf", h.astype(cdt), msg_w,
-                             preferred_element_type=jnp.float32) \
-        + msg_b[None, :, :]
-    table = transformed.reshape(-1, D).astype(cdt)
+    table = _node_table(h.astype(cdt), msg_w, msg_b, row_major, interpret)
     pad = (-table.shape[0]) % W
     if pad:
         table = jnp.pad(table, ((0, pad), (0, 0)))
@@ -856,15 +942,7 @@ def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
      block_rows) = meta[:8]
     pack_fwd = meta[8][0] if len(meta) > 8 else False
     N, D = h.shape
-    if row_major == "src":
-        transformed = jnp.einsum("nd,tdf->ntf", h, msg_w,
-                                 preferred_element_type=jnp.float32) \
-            + msg_b[None, :, :]
-    else:
-        transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
-                                 preferred_element_type=jnp.float32) \
-            + msg_b[:, None, :]
-    table = transformed.reshape(-1, D).astype(h.dtype)
+    table = _node_table(h, msg_w, msg_b, row_major, interpret)
     pad = (-table.shape[0]) % W
     if pad:
         table = jnp.pad(table, ((0, pad), (0, 0)))
@@ -919,7 +997,15 @@ def _aggregate_window_bwd(meta, interpret, res, da):
         G = da[arrs["s_bwd_dst"]]
         Y = Y + jax.ops.segment_sum(G, arrs["s_bwd_ids"], num_segments=R,
                                     indices_are_sorted=True)
-    if row_major == "src":
+    if row_major == "block":
+        Yb = Y.reshape(N // 128, T2, 128, D)
+        dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
+                        preferred_element_type=jnp.float32) \
+            .reshape(N, D).astype(h.dtype)
+        dW = jnp.einsum("bsd,btsf->tdf", h.reshape(N // 128, 128, D), Yb,
+                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
+        db = jnp.sum(Yb, axis=(0, 2)).astype(msg_w.dtype)
+    elif row_major == "src":
         Yr = Y.reshape(N, T2, D)
         dh = jnp.einsum("ntf,tdf->nd", Yr, msg_w,
                         preferred_element_type=jnp.float32).astype(h.dtype)

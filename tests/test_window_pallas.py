@@ -22,7 +22,7 @@ def random_edges(rng, n_nodes, n_edges, n_types):
 
 
 @pytest.mark.parametrize("min_edges", [1, 4, 10_000])
-@pytest.mark.parametrize("row_major", ["src", "type"])
+@pytest.mark.parametrize("row_major", ["block", "src", "type"])
 def test_window_parity(rng, min_edges, row_major):
     """min_edges=1: everything windowed; 4: mixed window+spill;
     10000: everything spills — all three must match the XLA path."""
@@ -110,12 +110,14 @@ def test_window_packed_saturation_and_guards(rng):
     assert lay_bw.packed == (True, False)
 
 
-@pytest.mark.parametrize("pack,min_edges", [(False, 3), (True, 3),
-                                            (False, 150), (False, 10_000)])
-def test_fused_gru_step_parity(rng, pack, min_edges):
+@pytest.mark.parametrize("pack,min_edges,row_major",
+                         [(False, 3, "src"), (True, 3, "block"),
+                          (False, 150, "block"), (False, 10_000, "src")])
+def test_fused_gru_step_parity(rng, pack, min_edges, row_major):
     """gru_window_step (window accumulate + in-kernel GRU epilogue) matches
     the unfused aggregate_window + gru_update step — all-dense (3), mixed
-    window+spill (150), and all-spill/init-only (10000)."""
+    window+spill (150), and all-spill/init-only (10000); src- and
+    block-major table orders."""
     from ggnn_tpu.models.ggnn import gru_update
     from ggnn_tpu.ops.window_pallas import gru_window_step
     N, E, T2, D = 512, 3000, 4, 32
@@ -123,7 +125,7 @@ def test_fused_gru_step_parity(rng, pack, min_edges):
     lay = build_window_layout(src, dst, typ, mask, N, window=256,
                               min_edges_per_tile=min_edges, spill_tile_e=8,
                               n_message_types=T2, block_rows=256,
-                              pack_counts=pack)
+                              pack_counts=pack, row_major=row_major)
     cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
     params = init_params(jax.random.PRNGKey(0), cfg)
     prop = params["prop"]
@@ -238,7 +240,7 @@ def test_propagate_window_backend(rng):
                                rtol=3e-5, atol=3e-6)
 
 
-@pytest.mark.parametrize("row_major", ["src", "type"])
+@pytest.mark.parametrize("row_major", ["block", "src", "type"])
 def test_window_grad_parity(rng, row_major):
     """jax.grad through aggregate_window (with_grad layout: transposed
     mono kernel + XLA spill fallback) matches the XLA segment path."""
