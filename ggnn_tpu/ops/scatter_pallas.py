@@ -84,6 +84,11 @@ class DstBlockLayout:
     # gather row, so the backward typed scatter also rides the one-hot
     # kernel instead of XLA scatter (build_dst_block_layout(with_grad=True))
     grad: "DstBlockLayout | None" = None
+    # edge_align packing (see build_dst_block_layout): per-tile message
+    # offsets in edge_align units, consumed by the mono kernel's
+    # win_stride DMA path
+    tile_msg_off: "np.ndarray | None" = None
+    edge_align: "int | None" = None
 
     @property
     def n_blocks(self) -> int:
@@ -104,6 +109,8 @@ class DstBlockLayout:
                   "dst_global": _jnp.asarray(self.dst_global)}
         if self.onehot is not None:
             arrays["onehot"] = _jnp.asarray(self.onehot)
+        if self.tile_msg_off is not None:
+            arrays["tile_msg_off"] = _jnp.asarray(self.tile_msg_off)
         grad_meta = None
         if self.grad is not None:
             g = self.grad
@@ -116,7 +123,8 @@ class DstBlockLayout:
             grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
                          g.onehot is not None)
         meta = (self.n_nodes_pad, self.tile_e, self.max_tiles,
-                self.n_blocks, self.onehot is not None, grad_meta)
+                self.n_blocks, self.onehot is not None, grad_meta,
+                self.edge_align)
         return DeviceScatterLayout(meta=meta, arrays=arrays)
 
 
@@ -152,6 +160,10 @@ class DeviceScatterLayout:
     def grad_meta(self):
         return self.meta[5]
 
+    @property
+    def edge_align(self):
+        return self.meta[6] if len(self.meta) > 6 else None
+
 
 jax.tree_util.register_pytree_node(
     DeviceScatterLayout,
@@ -177,7 +189,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_src_rows: int | None = None,
                            pad_tiles_to: int | None = None,
                            grad_tile_e: int | None = None,
-                           grad_pad_tiles_to: int | None = None
+                           grad_pad_tiles_to: int | None = None,
+                           edge_align: int | None = None
                            ) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
@@ -196,7 +209,19 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     count (see :func:`static_tile_budget`): every batch of a training run
     then produces identically-shaped layouts and the jitted step compiles
     once.  The extra all-padding tiles are appended to the last block
-    (zero one-hot columns — they contribute nothing)."""
+    (zero one-hot columns — they contribute nothing).
+
+    ``edge_align`` (e.g. 16): pack each block's edges at ``edge_align``-row
+    alignment instead of padding to a full ``tile_e`` multiple.  The
+    per-row gather engine (~11.6 ns/row regardless of bytes) then only
+    reads ~real rows; scatter tiles read their messages at 16-aligned
+    dynamic offsets (``tile_msg_off``, in edge_align units) and may
+    OVERLAP into the next block's rows — those columns are zero in the
+    one-hot, and overlapped DMA reads cost bandwidth, not engine rate.
+    Requires the manual-DMA kernel path (window_block_spmm_mono with
+    ``win_stride=edge_align``); 16 satisfies bf16's 16-sublane HBM slice
+    rule.  Incompatible with with_grad (the grad layout is built
+    unaligned) and used by the window spill path."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
     if n_src_rows is None:
@@ -233,18 +258,46 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     # (Only the 2-D grid kernels read it; they skip empty iterations.)
     static_max_tiles = pad_tiles_to if pad_tiles_to is not None else None
     np.cumsum(tiles, out=tile_start[1:])
-    e_pack = int(tile_start[-1]) * tile_e
     max_tiles = (static_max_tiles if static_max_tiles is not None
                  else int(tiles.max()) if n_blocks else 1)
 
-    gather_idx = np.zeros(max(e_pack, tile_e), np.int32)
-    dst_local = np.full(max(e_pack, tile_e), -1, np.int32)
-    dst_global = np.full(max(e_pack, tile_e), -1, np.int32)
     # packed position of each real edge: block's first slot + rank in block
     block_edge_start = np.zeros(n_blocks + 1, np.int64)
     np.cumsum(counts, out=block_edge_start[1:])
     rank = np.arange(src.shape[0]) - block_edge_start[block]
-    pos = tile_start[block].astype(np.int64) * tile_e + rank
+    tile_msg_off = None
+    if edge_align is not None:
+        if with_grad:
+            raise ValueError("edge_align is forward-only (no grad layout)")
+        A = edge_align
+        base = np.zeros(n_blocks + 1, np.int64)
+        np.cumsum(-(-counts // A) * A, out=base[1:])
+        e_pack = int(base[-1]) + tile_e  # margin: tiles may overrun
+        pos = base[block] + rank
+        tile_of = tile_start[block].astype(np.int64) + rank // tile_e
+        col = rank % tile_e
+        # per-tile message offset in edge_align units (the mono kernel
+        # DMAs messages at pl.ds(off·A, tile_e))
+        tile_msg_off = np.zeros(int(tile_start[-1]), np.int32)
+        for_blocks = np.repeat(np.arange(n_blocks), tiles.astype(np.int64))
+        k_in_block = (np.arange(tile_msg_off.shape[0])
+                      - tile_start[for_blocks])
+        tile_msg_off[:] = ((base[for_blocks] + k_in_block * tile_e) // A
+                           ).astype(np.int32)
+        # pad_tiles_to appends all-zero tiles past the last block's real
+        # range — clamp every offset into bounds (real tiles are already
+        # ≤ base[-1]; the clamp only moves padding tiles, whose one-hot
+        # columns are zero)
+        np.minimum(tile_msg_off, (e_pack - tile_e) // A, out=tile_msg_off)
+    else:
+        e_pack = max(int(tile_start[-1]) * tile_e, tile_e)
+        pos = tile_start[block].astype(np.int64) * tile_e + rank
+        tile_of = pos // tile_e
+        col = pos % tile_e
+
+    gather_idx = np.zeros(e_pack, np.int32)
+    dst_local = np.full(e_pack, -1, np.int32)
+    dst_global = np.full(e_pack, -1, np.int32)
     gather_idx[pos] = (typ * n_src_rows + src).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
     dst_global[pos] = dst.astype(np.int32)
@@ -255,10 +308,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         # stored TRANSPOSED per tile — [n_tiles·BLOCK_N, tile_e] — so the
         # kernel contracts lhs dim 1 (MXU-native; contracting dim 0 forces
         # a per-tile transpose relayout)
-        n_total_tiles = gather_idx.shape[0] // tile_e
+        n_total_tiles = int(tile_start[-1])
         onehot = np.zeros((n_total_tiles * BLOCK_N, tile_e), np.int8)
-        tile_of = pos // tile_e
-        col = pos % tile_e
         onehot[tile_of * BLOCK_N + dst_local[pos], col] = 1
     grad = None
     if with_grad:
@@ -289,7 +340,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
         dst_local=dst_local, tile_start=tile_start,
         block_of_tile=block_of_tile, dst_global=dst_global,
-        onehot=onehot, grad=grad)
+        onehot=onehot, grad=grad, tile_msg_off=tile_msg_off,
+        edge_align=edge_align)
 
 
 def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
@@ -672,7 +724,7 @@ def aggregate_onehot(h, layout, msg_w, msg_b, interpret: bool | None = None):
 
 
 def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
-    n_nodes_pad, tile_e, max_tiles, n_blocks, has_onehot, _ = meta
+    n_nodes_pad, tile_e, max_tiles, n_blocks, has_onehot, _ = meta[:6]
     N, D = h.shape
     transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
                              preferred_element_type=jnp.float32) \

@@ -246,7 +246,10 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             rows[~keep], dst[~keep], np.zeros(n_spill, np.int64),
             np.ones(n_spill, np.float32), n_nodes_pad,
             tile_e=spill_tile_e, n_src_rows=t2 * n_src_rows,
-            pad_tiles_to=spill_pad_tiles_to)
+            pad_tiles_to=spill_pad_tiles_to,
+            # 16-aligned packing: the per-row gather engine only reads
+            # ~real spilled rows instead of per-block tile_e-padded ones
+            edge_align=(16 if spill_tile_e % 16 == 0 else None))
 
     # dense tiles (+ one dummy all-zero tile per block so the kernel's
     # first-tile zero-init covers every output block)
@@ -437,7 +440,8 @@ def window_block_spmm(table, c_stream, tile_start, block_of_tile,
 def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                         table_hbm, c_hbm, out_hbm, acc, tbl_buf, c_buf,
                         tbl_sem, c_sem, out_sem, *, window, nbuf,
-                        blocks_per_prog, block_n, packed=False):
+                        blocks_per_prog, block_n, packed=False,
+                        win_stride=None):
     """Manual-DMA variant: the automatic pipeline cannot prefetch through
     the DYNAMIC table-window index map (win_of_tile[i]) — measured ~2.8 us
     of serialized DMA latency per tile, which dominated the whole step.
@@ -448,11 +452,12 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     b0 = p * blocks_per_prog
     t0 = tile_start_ref[b0]
     t1 = tile_start_ref[b0 + blocks_per_prog]
+    stride = window if win_stride is None else win_stride
 
     def in_dma(slot, t):
         w = win_of_tile_ref[t]
         m = pltpu.make_async_copy(
-            table_hbm.at[pl.ds(w * window, window), :],
+            table_hbm.at[pl.ds(w * stride, window), :],
             tbl_buf.at[slot], tbl_sem.at[slot])
         c = pltpu.make_async_copy(
             c_hbm.at[pl.ds(t * block_n, block_n), :],
@@ -537,11 +542,13 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
-                                    "out_rows", "packed", "interpret"))
+                                    "out_rows", "packed", "win_stride",
+                                    "interpret"))
 def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                            win_of_tile, n_blocks: int, window: int,
                            n_progs: int = 1, nbuf: int = 6,
                            out_rows: int = BLOCK_N, packed: bool = False,
+                           win_stride: int | None = None,
                            interpret: bool = False):
     """Manual-DMA-ring variant of :func:`window_block_spmm` (production).
 
@@ -553,9 +560,14 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     ``packed=True`` consumes an int4-packed count stream
     ([n_tiles·out_rows, window/2] — see :func:`_pack_nibbles`); the count
     DMA bytes halve and the MXU contraction splits into the two window
-    halves."""
+    halves.
+
+    ``win_stride`` (rows): table-window offsets become win·win_stride
+    instead of win·window — the edge_align packing path, where
+    ``window``-row message reads start at finer-aligned positions and may
+    overlap (see scatter_pallas.build_dst_block_layout edge_align)."""
     R, D = table.shape
-    if R % window:
+    if win_stride is None and R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
         raise ValueError("n_progs must divide n_blocks")
@@ -577,7 +589,8 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     )
     kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
-                               block_n=out_rows, packed=packed)
+                               block_n=out_rows, packed=packed,
+                               win_stride=win_stride)
     n_tiles = c_stream.shape[0] // out_rows
     return pl.pallas_call(
         kernel,
@@ -901,12 +914,7 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     n_rows = n_blocks * block_rows
     has_init = spill_meta is not None
     if has_init:
-        _, s_tile_e, _, s_blocks, _, _ = spill_meta
-        msgs = table[arrs["s_gather_idx"]]
-        init = onehot_segment_scatter_flat(
-            msgs, arrs["s_onehot"], arrs["s_tile_start"],
-            arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
-            interpret=interpret)
+        init = _spill_scatter(table, arrs, spill_meta, interpret)
     else:
         init = jnp.zeros((n_rows, D), jnp.float32)
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
@@ -920,6 +928,25 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
         n_blocks=n_blocks, window=W, out_rows=block_rows, packed=pack_fwd,
         has_init=has_init, interpret=interpret)
     return h_new[:N]
+
+
+def _spill_scatter(table, arrs, spill_meta, interpret):
+    """Spilled-edge aggregation: per-edge gather from the table + one-hot
+    MXU scatter.  16-aligned layouts ride the mono kernel with
+    win_stride=edge_align (gather reads ~real rows only)."""
+    s_tile_e, s_blocks = spill_meta[1], spill_meta[3]
+    align = spill_meta[6] if len(spill_meta) > 6 else None
+    msgs = table[arrs["s_gather_idx"]]
+    if align is not None:
+        return window_block_spmm_mono(
+            msgs, arrs["s_onehot"], arrs["s_tile_start"],
+            arrs["s_block_of_tile"], arrs["s_tile_msg_off"],
+            n_blocks=s_blocks, window=s_tile_e, win_stride=align,
+            out_rows=BLOCK_N, interpret=interpret)
+    return onehot_segment_scatter_flat(
+        msgs, arrs["s_onehot"], arrs["s_tile_start"],
+        arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
+        interpret=interpret)
 
 
 def aggregate_window(h, layout: DeviceWindowLayout, msg_w, msg_b,
@@ -952,12 +979,7 @@ def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
                                  out_rows=block_rows, packed=pack_fwd,
                                  interpret=interpret)
     if spill_meta is not None:
-        _, s_tile_e, _, s_blocks, _, _ = spill_meta
-        msgs = table[arrs["s_gather_idx"]]
-        out = out + onehot_segment_scatter_flat(
-            msgs, arrs["s_onehot"], arrs["s_tile_start"],
-            arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
-            interpret=interpret)
+        out = out + _spill_scatter(table, arrs, spill_meta, interpret)
     return out[:N]
 
 

@@ -167,6 +167,40 @@ def test_propagate_fused_backend(rng):
                                rtol=3e-5, atol=3e-6)
 
 
+@pytest.mark.parametrize("min_edges", [180, 10_000])
+def test_window_spill_edge_align(rng, min_edges):
+    """16-aligned spill packing (gather reads ~real rows; scatter tiles at
+    win_stride offsets, overlapping reads) matches the XLA path — partial
+    (180) and full (10000) spill."""
+    N, E, T2, D = 512, 3000, 4, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=min_edges, spill_tile_e=16,
+                              n_message_types=T2, block_rows=256,
+                              force_spill=True)
+    assert 0 < lay.stats["spill_frac"] <= 1.0
+    assert "s_tile_msg_off" in lay.arrays
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_window(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # fused step through the aligned spill init
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+    ref_h = gru_update(params["prop"]["gru"], h, got)
+    got_h = gru_window_step(h, lay, params["prop"]["msg_w"],
+                            params["prop"]["msg_b"], params["prop"]["gru"],
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_window_layout_stats(rng):
     """Community graph: dense tiles capture the intra-community mass and
     the spill fraction tracks the cross-community rate."""
