@@ -142,7 +142,11 @@ def main() -> int:
                     batch.edge_src, batch.edge_dst, batch.edge_type,
                     batch.edge_mask, batch.spec.n_pad, tile_e=2048,
                     with_grad=(args.mode == "train"),
-                    n_message_types=2 * args.types).to_device()
+                    n_message_types=2 * args.types,
+                    # fwd-only 16-aligned packing: the per-row gather
+                    # engine reads ~real rows instead of tile_e-padded
+                    edge_align=(16 if args.mode == "fwd" else None)
+                ).to_device()
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),

@@ -725,6 +725,7 @@ def aggregate_onehot(h, layout, msg_w, msg_b, interpret: bool | None = None):
 
 def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
     n_nodes_pad, tile_e, max_tiles, n_blocks, has_onehot, _ = meta[:6]
+    edge_align = meta[6] if len(meta) > 6 else None
     N, D = h.shape
     transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
                              preferred_element_type=jnp.float32) \
@@ -733,7 +734,16 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
     # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
     table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
     msgs = table[arrs["gather_idx"]]                      # linear-order gather
-    if has_onehot:
+    if edge_align is not None:
+        # 16-aligned packing: gather reads ~real rows; the mono kernel
+        # DMAs message tiles at win_stride offsets (may overlap blocks —
+        # overlapping one-hot columns are zero)
+        from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
+        out = window_block_spmm_mono(
+            msgs, arrs["onehot"], arrs["tile_start"], arrs["block_of_tile"],
+            arrs["tile_msg_off"], n_blocks=n_blocks, window=tile_e,
+            win_stride=edge_align, out_rows=BLOCK_N, interpret=interpret)
+    elif has_onehot:
         out = onehot_segment_scatter_flat(
             msgs, arrs["onehot"], arrs["tile_start"], arrs["block_of_tile"],
             n_blocks=n_blocks, tile_e=tile_e, interpret=interpret)

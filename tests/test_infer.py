@@ -53,12 +53,17 @@ def test_predictor_backends_agree(rng):
     spec = PaddingSpec(n_graphs=4, n_pad=64, e_pad=96, n_edge_types=3,
                        annotation_dim=2).round_up()
     preds = {}
-    for backend in ("xla", "onehot", "window"):
+    for name, backend, fuse in (("xla", "xla", False),
+                                ("onehot", "onehot", False),
+                                ("window", "window", False),
+                                ("window_fused", "window", True)):
         cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
-                          n_steps=3, head="node_select", backend=backend)
+                          n_steps=3, head="node_select", backend=backend,
+                          fuse_gru=fuse)
         p = Predictor(cfg, spec)
-        preds[backend] = p.predict(gs)
+        preds[name] = p.predict(gs)
         if backend != "xla":
             assert p._fwd._cache_size() == 1
     assert preds["onehot"] == preds["xla"]
     assert preds["window"] == preds["xla"]
+    assert preds["window_fused"] == preds["xla"]

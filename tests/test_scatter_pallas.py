@@ -81,6 +81,32 @@ def test_aggregate_onehot_matches_xla(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_e,align", [(16, 16), (32, 16), (16, 8)])
+def test_aggregate_onehot_edge_align(rng, tile_e, align):
+    """16-aligned packing (gather reads ~real rows; mono scatter at
+    win_stride offsets) matches the XLA path and shrinks the pack."""
+    N, E, T2, D = 256, 700, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay_pad = build_dst_block_layout(src, dst, typ, mask, N, tile_e=tile_e)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=tile_e,
+                                 edge_align=align)
+    # pack shrinks modulo the one-tile overrun safety margin (dominant
+    # only at toy scales like this one)
+    assert (lay.gather_idx.shape[0]
+            <= lay_pad.gather_idx.shape[0] + tile_e)
+    assert lay.tile_msg_off is not None
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_onehot(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_variants_agree(rng):
     """All scatter kernel variants (id-based 2-D grid, int8-stream 2-D
     grid, flat 1-D grid, looped-DMA) produce identical results."""
