@@ -32,6 +32,8 @@ def build(force: bool = False) -> bool:
     if os.path.exists(_SO) and not force:
         return True
     try:
+        if force and os.path.exists(_SO):
+            os.remove(_SO)  # make trusts mtimes; a stale .so may be newer
         subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                        capture_output=True)
         return os.path.exists(_SO)
@@ -46,6 +48,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO) and not build():
         return None
     lib = ctypes.CDLL(_SO)
+    if not hasattr(lib, "ggnn_window_plan"):
+        # stale .so from before the window planner was added (the library
+        # is built locally and gitignored; build() skips existing files) —
+        # force a rebuild rather than AttributeError-ing out of available()
+        del lib
+        if not build(force=True):
+            return None
+        lib = ctypes.CDLL(_SO)
+        if not hasattr(lib, "ggnn_window_plan"):
+            return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f32p = ctypes.POINTER(ctypes.c_float)

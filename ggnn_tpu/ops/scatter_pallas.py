@@ -269,10 +269,22 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     if edge_align is not None:
         if with_grad:
             raise ValueError("edge_align is forward-only (no grad layout)")
+        if not onehot_stream:
+            raise ValueError("edge_align needs onehot_stream=True (only the "
+                             "mono win_stride kernel reads aligned packs)")
         A = edge_align
+        if tile_e % A:
+            raise ValueError(f"edge_align={A} must divide tile_e={tile_e}")
         base = np.zeros(n_blocks + 1, np.int64)
         np.cumsum(-(-counts // A) * A, out=base[1:])
         e_pack = int(base[-1]) + tile_e  # margin: tiles may overrun
+        if pad_tiles_to is not None:
+            # static-budget mode: the pack length must be topology-
+            # independent too (halo shards np.stack it; serving batches
+            # must not retrace) — pad to the budget's worst case.  The
+            # padding rows do re-enter the gather; static shapes trade
+            # that back deliberately.
+            e_pack = pad_tiles_to * tile_e + tile_e
         pos = base[block] + rank
         tile_of = tile_start[block].astype(np.int64) + rank // tile_e
         col = rank % tile_e

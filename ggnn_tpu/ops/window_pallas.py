@@ -437,6 +437,28 @@ def window_block_spmm(table, c_stream, tile_start, block_of_tile,
     )(block_of_tile, win_of_tile, tile_start, table, c_stream)
 
 
+def _count_dot(c, tbl, window, packed):
+    """One tile's C·table MXU product, shared by the mono and fused-step
+    kernels (they must stay in lockstep for the parity tests).
+
+    ``packed``: int4 nibble pairs — low nibble = window cols [0, W/2),
+    high = [W/2, W).  The shift runs on an int32 WIDENING of the bytes
+    (Mosaic has no int8 vector shift: arith.shrsi on i8 fails to
+    legalize); sign-extension then &15 still recovers both nibbles
+    exactly.  Two half-window MXU matmuls replace the full-width one
+    (same FLOPs, half the count-stream DMA bytes)."""
+    if packed:
+        cp = c.astype(jnp.int32)
+        half = window // 2
+        lo = (cp & 15).astype(tbl.dtype)
+        hi = ((cp >> 4) & 15).astype(tbl.dtype)
+        return (jnp.dot(lo, tbl[:half], preferred_element_type=jnp.float32)
+                + jnp.dot(hi, tbl[half:],
+                          preferred_element_type=jnp.float32))
+    return jnp.dot(c.astype(tbl.dtype), tbl,
+                   preferred_element_type=jnp.float32)
+
+
 def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                         table_hbm, c_hbm, out_hbm, acc, tbl_buf, c_buf,
                         tbl_sem, c_sem, out_sem, *, window, nbuf,
@@ -493,25 +515,7 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         m, c = in_dma(slot, t)
         m.wait()
         c.wait()
-        if packed:
-            # int4 pairs: low nibble = window cols [0, W/2), high nibble =
-            # [W/2, W).  The shift runs on an int32 WIDENING of the bytes —
-            # Mosaic has no int8 vector shift (arith.shrsi on i8 fails to
-            # legalize); sign-extension then &15 still recovers both
-            # nibbles exactly.  Two half-window MXU matmuls replace the
-            # full-width one (same FLOPs, half the count-stream DMA bytes
-            # — the dominant stream).
-            cp = c_buf[slot].astype(jnp.int32)
-            half = window // 2
-            lo = (cp & 15).astype(tbl_buf.dtype)
-            hi = ((cp >> 4) & 15).astype(tbl_buf.dtype)
-            prod = (jnp.dot(lo, tbl_buf[slot, :half],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(hi, tbl_buf[slot, half:],
-                              preferred_element_type=jnp.float32))
-        else:
-            prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
-                           preferred_element_type=jnp.float32)
+        prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
 
         @pl.when(first)
         def _():
@@ -758,18 +762,7 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         m, c = in_dma(slot, t)
         m.wait()
         c.wait()
-        if packed:
-            cp = c_buf[slot].astype(jnp.int32)
-            half = window // 2
-            lo = (cp & 15).astype(tbl_buf.dtype)
-            hi = ((cp >> 4) & 15).astype(tbl_buf.dtype)
-            prod = (jnp.dot(lo, tbl_buf[slot, :half],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(hi, tbl_buf[slot, half:],
-                              preferred_element_type=jnp.float32))
-        else:
-            prod = jnp.dot(c_buf[slot].astype(tbl_buf.dtype), tbl_buf[slot],
-                           preferred_element_type=jnp.float32)
+        prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
 
         @pl.when(first)
         def _():

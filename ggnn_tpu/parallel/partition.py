@@ -319,12 +319,11 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     first = [build(s) for s in range(P)]
     n_tiles = max(l.n_tiles for l in first)
     sp_tiles = max(l.arrays["s_block_of_tile"].shape[0] for l in first)
-    # rebuild (with padding) only the shards below the common shape — the
-    # max-shaped shard(s) are reused as-is
-    lays = [l if (l.n_tiles == n_tiles
-                  and l.arrays["s_block_of_tile"].shape[0] == sp_tiles)
-            else build(s, pad=n_tiles, spad=sp_tiles)
-            for s, l in enumerate(first)]
+    # rebuild EVERY shard with the common static pads: a tiles-match alone
+    # is not enough — the 16-aligned spill pack length is per-topology
+    # unless spill_pad_tiles_to pins it (stacking ragged s_gather_idx
+    # raised ValueError when shards spilled unevenly)
+    lays = [build(s, pad=n_tiles, spad=sp_tiles) for s in range(P)]
     arrays = {k: np.stack([np.asarray(l.arrays[k]) for l in lays])
               for k in lays[0].arrays}
     # per-shard metas agree on everything the flat/mono kernels read

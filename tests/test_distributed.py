@@ -125,3 +125,62 @@ def test_sharded_propagate_halo_window(rng):
     got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
                                        strategy="halo_window"))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_propagate_halo_window_uneven_spill(rng):
+    """halo_window with NON-degenerate spill distributions: shards spill
+    different edge counts, so the stacked per-shard spill arrays must be
+    padded to common static shapes (16-aligned packs are per-topology
+    unless spill_pad_tiles_to pins them — this raised ValueError on
+    np.stack before the fix)."""
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel.partition import (build_halo_window_layouts,
+                                             split_local_remote)
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=5,
+                        node_mult=1024, n_communities=8, p_intra=0.6)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    parts = split_local_remote(partition_batch(b, 8))
+    # force heavy, uneven spill: most tiles fall below the threshold
+    arrays, meta = build_halo_window_layouts(parts, window=64,
+                                             min_edges_per_tile=2000,
+                                             spill_tile_e=16)
+    assert arrays["s_gather_idx"].ndim == 2  # stacked [P, E_pack_static]
+    ref = np.asarray(propagate(
+        params["prop"], cfg, b.annotations, b.edge_src, b.edge_dst,
+        b.edge_type, b.edge_mask))
+    mesh = make_mesh(n_graph=8)
+    got = np.asarray(sharded_propagate(
+        params["prop"], cfg, mesh, parts, strategy="halo_window",
+        halo_layouts=(arrays, meta)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_window_layout_for_batch_static_shapes(rng):
+    """Two different topologies under the same PaddingSpec produce
+    identically-shaped layouts (the serving compile-once contract),
+    including the 16-aligned spill pack."""
+    import jax.tree_util as jtu
+
+    from ggnn_tpu.data import TASKS, generate_task_file
+    from ggnn_tpu.data.babi import parse_graph_text
+    from ggnn_tpu.graph import PaddingSpec, batch_graphs
+    from ggnn_tpu.ops.window_pallas import window_layout_for_batch
+
+    spec = PaddingSpec(n_graphs=4, n_pad=128, e_pad=256, n_edge_types=4,
+                       annotation_dim=1).round_up()
+    text = generate_task_file(4, 12, seed=9)
+    exs = parse_graph_text(text, TASKS[4])
+    graphs = [dict(n_nodes=e.n_nodes, edges=e.edges,
+                   annotations=np.zeros((e.n_nodes, 1), np.float32),
+                   targets={}) for e in exs]
+    shapes = []
+    for batch in (batch_graphs(graphs[:4], spec),
+                  batch_graphs(graphs[4:8], spec)):
+        lay = window_layout_for_batch(batch, window=256,
+                                      min_edges_per_tile=4, spill_tile_e=16)
+        shapes.append({k: v.shape for k, v in lay.arrays.items()})
+        shapes.append(lay.meta)
+    assert shapes[0] == shapes[2], "array shapes differ across batches"
+    assert shapes[1] == shapes[3], "meta differs across batches"
