@@ -145,8 +145,11 @@ def main() -> int:
                     n_message_types=2 * args.types,
                     # fwd-only 16-aligned packing: the per-row gather
                     # engine reads ~real rows instead of tile_e-padded
-                    edge_align=(16 if args.mode == "fwd" else None)
-                ).to_device()
+                    edge_align=(16 if args.mode == "fwd" else None),
+                    # block-major table rows: the Pallas table kernel
+                    # replaces the relayout-taxed XLA einsum
+                    row_order=("block" if batch.spec.n_pad % 128 == 0
+                               else "type")).to_device()
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),

@@ -89,6 +89,8 @@ class DstBlockLayout:
     # win_stride DMA path
     tile_msg_off: "np.ndarray | None" = None
     edge_align: "int | None" = None
+    # table row space the gather indexes ('type' | 'block')
+    row_order: str = "type"
 
     @property
     def n_blocks(self) -> int:
@@ -124,7 +126,7 @@ class DstBlockLayout:
                          g.onehot is not None)
         meta = (self.n_nodes_pad, self.tile_e, self.max_tiles,
                 self.n_blocks, self.onehot is not None, grad_meta,
-                self.edge_align)
+                self.edge_align, self.row_order)
         return DeviceScatterLayout(meta=meta, arrays=arrays)
 
 
@@ -164,6 +166,10 @@ class DeviceScatterLayout:
     def edge_align(self):
         return self.meta[6] if len(self.meta) > 6 else None
 
+    @property
+    def row_order(self):
+        return self.meta[7] if len(self.meta) > 7 else "type"
+
 
 jax.tree_util.register_pytree_node(
     DeviceScatterLayout,
@@ -190,8 +196,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            pad_tiles_to: int | None = None,
                            grad_tile_e: int | None = None,
                            grad_pad_tiles_to: int | None = None,
-                           edge_align: int | None = None
-                           ) -> DstBlockLayout:
+                           edge_align: int | None = None,
+                           row_order: str = "type") -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
 
@@ -211,6 +217,15 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     once.  The extra all-padding tiles are appended to the last block
     (zero one-hot columns — they contribute nothing).
 
+    ``row_order`` picks the node-transform-table row space the gather
+    indexes: ``'type'`` (row = t·N_src + src — the historical layout) or
+    ``'block'`` (row = (src//128)·T2·128 + t·128 + src%128) — the latter
+    lets :func:`ggnn_tpu.ops.window_pallas.node_table_block_major`
+    materialize the table at the write-bandwidth floor (every XLA einsum
+    form pays a hidden relayout + unfused bias, ~5.2 ms vs 1.8 ms at 262K
+    nodes / T2=16 / D=128).  'block' needs ``n_message_types`` and
+    ``n_src_rows % 128 == 0``.
+
     ``edge_align`` (e.g. 16): pack each block's edges at ``edge_align``-row
     alignment instead of padding to a full ``tile_e`` multiple.  The
     per-row gather engine (~11.6 ns/row regardless of bytes) then only
@@ -226,14 +241,30 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
     if n_src_rows is None:
         n_src_rows = n_nodes_pad
+    if row_order not in ("type", "block"):
+        raise ValueError(f"row_order must be 'type' or 'block': {row_order!r}")
+    if row_order == "block":
+        if n_message_types is None:
+            raise ValueError("row_order='block' needs n_message_types")
+        if n_src_rows % 128:
+            raise ValueError("row_order='block' needs n_src_rows % 128 == 0")
     real = np.asarray(edge_mask) > 0
     src = np.asarray(edge_src)[real].astype(np.int64)
     dst = np.asarray(edge_dst)[real].astype(np.int64)
     typ = np.asarray(edge_type)[real].astype(np.int64)
+
+    def table_row(src, typ):
+        if row_order == "block":
+            return (src // 128) * (n_message_types * 128) \
+                + typ * 128 + src % 128
+        return typ * n_src_rows + src
+
     # primary: destination block (the scatter grouping); secondary: gather
-    # row (type·N_src + src) so the XLA gather sees near-sequential rows —
-    # within a block the one-hot scatter is order-invariant
-    grow = typ * n_src_rows + src
+    # row, so the XLA gather sees near-sequential rows within a block —
+    # the one-hot scatter is order-invariant inside a block, and sorted
+    # tight packs nearly double the gather engine rate (measured 11.6 →
+    # 6.5 ns/row when per-tile zero-index padding jumps were removed)
+    grow = table_row(src, typ)
     order = np.lexsort((grow, dst // BLOCK_N))
     src, dst, typ = src[order], dst[order], typ[order]
 
@@ -310,7 +341,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     gather_idx = np.zeros(e_pack, np.int32)
     dst_local = np.full(e_pack, -1, np.int32)
     dst_global = np.full(e_pack, -1, np.int32)
-    gather_idx[pos] = (typ * n_src_rows + src).astype(np.int32)
+    gather_idx[pos] = table_row(src, typ).astype(np.int32)
     dst_local[pos] = (dst - block * BLOCK_N).astype(np.int32)
     dst_global[pos] = dst.astype(np.int32)
     block_of_tile = np.repeat(np.arange(n_blocks, dtype=np.int32),
@@ -341,7 +372,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
             while g_tile < min(avg, tile_e):
                 g_tile *= 2
         grad = build_dst_block_layout(
-            edge_src=dst, edge_dst=typ * n_src_rows + src,
+            edge_src=dst, edge_dst=table_row(src, typ),
             edge_type=np.zeros_like(typ),
             edge_mask=np.ones(dst.shape[0], np.float32),
             n_nodes_pad=n_rows_grad,
@@ -353,7 +384,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         dst_local=dst_local, tile_start=tile_start,
         block_of_tile=block_of_tile, dst_global=dst_global,
         onehot=onehot, grad=grad, tile_msg_off=tile_msg_off,
-        edge_align=edge_align)
+        edge_align=edge_align, row_order=row_order)
 
 
 def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
@@ -642,7 +673,7 @@ def layout_for_batch(batch, tile_e: int = 128, with_grad: bool = True
     spec = batch.spec
     t2 = 2 * spec.n_edge_types
     # dst rows pad up to the 128-row block grid; the gather/table space
-    # stays spec.n_pad (it must match h's row count: row = t·n_pad + src)
+    # stays spec.n_pad (it must match h's row count)
     n_dst = _rup_block(spec.n_pad)
     g_rows = _rup_block(t2 * spec.n_pad)
     return build_dst_block_layout(
@@ -652,7 +683,9 @@ def layout_for_batch(batch, tile_e: int = 128, with_grad: bool = True
         pad_tiles_to=static_tile_budget(spec.e_pad, n_dst, tile_e),
         grad_tile_e=128 if with_grad else None,
         grad_pad_tiles_to=(static_tile_budget(spec.e_pad, g_rows, 128)
-                           if with_grad else None)).to_device()
+                           if with_grad else None),
+        row_order=("block" if spec.n_pad % 128 == 0 else "type")
+    ).to_device()
 
 
 def build_chunked_dst_layouts(edge_src, edge_dst, edge_type, edge_mask,
@@ -738,13 +771,13 @@ def aggregate_onehot(h, layout, msg_w, msg_b, interpret: bool | None = None):
 def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
     n_nodes_pad, tile_e, max_tiles, n_blocks, has_onehot, _ = meta[:6]
     edge_align = meta[6] if len(meta) > 6 else None
+    row_order = meta[7] if len(meta) > 7 else "type"
     N, D = h.shape
-    transformed = jnp.einsum("nd,tdf->tnf", h, msg_w,
-                             preferred_element_type=jnp.float32) \
-        + msg_b[:, None, :]
-    # keep the big gather table in the compute dtype (bf16 halves the
-    # gather+scatter HBM traffic; the one-hot matmul accumulates in f32)
-    table = transformed.reshape(-1, D).astype(h.dtype)    # [T2·N, D]
+    # table kept in the compute dtype (bf16 halves the gather+scatter HBM
+    # traffic; the one-hot matmul accumulates in f32); block-major rows
+    # materialize through the Pallas table kernel at the write-BW floor
+    from ggnn_tpu.ops.window_pallas import _node_table
+    table = _node_table(h, msg_w, msg_b, row_order, interpret)  # [T2·N, D]
     msgs = table[arrs["gather_idx"]]                      # linear-order gather
     if edge_align is not None:
         # 16-aligned packing: gather reads ~real rows; the mono kernel
@@ -777,8 +810,9 @@ def _aggregate_fwd(meta, interpret, arrs, h, msg_w, msg_b):
 
 
 def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
-    """Y.flat[t·N+u] = Σ_{(u,t,v)} da[v] — via the grad one-hot layout when
-    present, else XLA segment_sum."""
+    """Y.flat[row(u,t)] = Σ_{(u,t,v)} da[v] — via the grad one-hot layout
+    when present, else XLA segment_sum.  Returns [T2·N, D] flat in the
+    layout's table-row order."""
     grad_meta = meta[5]
     if grad_meta is not None:
         g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta
@@ -793,24 +827,33 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
                 G, arrs["g_dst_local"], arrs["g_tile_start"],
                 n_blocks=g_blocks, max_tiles=g_max_tiles, tile_e=g_tile_e,
                 interpret=interpret)
-        return Y_flat[:T2 * N].reshape(T2, N, D)
+        return Y_flat[:T2 * N]
     mask = arrs["dst_global"] >= 0
     G = da[jnp.maximum(arrs["dst_global"], 0)] * mask[:, None]
-    Y_flat = jax.ops.segment_sum(G, arrs["gather_idx"],
-                                 num_segments=T2 * N)
-    return Y_flat.reshape(T2, N, D)
+    return jax.ops.segment_sum(G, arrs["gather_idx"], num_segments=T2 * N)
 
 
 def _aggregate_bwd(meta, interpret, res, da):
     arrs, h, msg_w = res
     T2, D = msg_w.shape[0], msg_w.shape[-1]
     N = h.shape[0]
-    Y = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D)
-    dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
-                    preferred_element_type=jnp.float32).astype(h.dtype)
-    dW = jnp.einsum("nd,tnf->tdf", h, Y,
-                    preferred_element_type=jnp.float32).astype(msg_w.dtype)
-    db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
+    row_order = meta[7] if len(meta) > 7 else "type"
+    Y_flat = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D)
+    if row_order == "block":
+        Yb = Y_flat.reshape(N // 128, T2, 128, D)
+        dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
+                        preferred_element_type=jnp.float32) \
+            .reshape(N, D).astype(h.dtype)
+        dW = jnp.einsum("bsd,btsf->tdf", h.reshape(N // 128, 128, D), Yb,
+                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
+        db = jnp.sum(Yb, axis=(0, 2)).astype(msg_w.dtype)
+    else:
+        Y = Y_flat.reshape(T2, N, D)
+        dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        dW = jnp.einsum("nd,tnf->tdf", h, Y,
+                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
+        db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
     d_arrs = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
     return d_arrs, dh, dW, db

@@ -12,7 +12,8 @@ from ggnn_tpu.ops.segment import typed_aggregate
 
 
 @pytest.mark.parametrize("with_grad_layout", [False, True])
-def test_aggregate_onehot_grad_matches_xla(rng, with_grad_layout):
+@pytest.mark.parametrize("row_order", ["type", "block"])
+def test_aggregate_onehot_grad_matches_xla(rng, with_grad_layout, row_order):
     N, E, T2, D = 256, 600, 6, 16
     src = rng.integers(0, N, E).astype(np.int32)
     dst = rng.integers(0, N, E).astype(np.int32)
@@ -21,7 +22,7 @@ def test_aggregate_onehot_grad_matches_xla(rng, with_grad_layout):
     mask[rng.random(E) < 0.15] = 0.0
     lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8,
                                  with_grad=with_grad_layout,
-                                 n_message_types=T2)
+                                 n_message_types=T2, row_order=row_order)
     assert (lay.grad is not None) == with_grad_layout
     cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -65,10 +65,12 @@ def test_scatter_kernel_matches_segment_sum(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_aggregate_onehot_matches_xla(rng):
+@pytest.mark.parametrize("row_order", ["type", "block"])
+def test_aggregate_onehot_matches_xla(rng, row_order):
     N, E, T2, D = 256, 700, 6, 32
     src, dst, typ, mask = random_edges(rng, N, E, T2)
-    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=8,
+                                 n_message_types=T2, row_order=row_order)
     cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
     params = init_params(jax.random.PRNGKey(0), cfg)
     h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
