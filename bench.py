@@ -66,6 +66,9 @@ def build_args():
     ap.add_argument("--fuse_gru", action="store_true",
                     help="backend=window fwd: GRU in the kernel epilogue "
                          "(serving path)")
+    ap.add_argument("--q8", action="store_true",
+                    help="with --fuse_gru: int8-quantized node-transform "
+                         "table (power-of-2 per-window scales, int8 MXU)")
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="bfloat16",
@@ -111,7 +114,10 @@ def main() -> int:
                           backend=backend, agg_strategy=args.agg,
                           compute_dtype=args.dtype,
                           fuse_gru=(fuse_gru and backend == "window"
-                                    and args.mode == "fwd"))
+                                    and args.mode == "fwd"),
+                          quantized_table=(args.q8 and fuse_gru
+                                           and backend == "window"
+                                           and args.mode == "fwd"))
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "window":

@@ -37,6 +37,9 @@ class ModelConfig:
     fuse_gru: bool = False        # backend='window' forward: run the GRU in
                                   # the window kernel's epilogue (serving
                                   # path; gate matmuls bf16-in/f32-acc)
+    quantized_table: bool = False  # fuse_gru serving: int8 node-transform
+                                  # table with power-of-2 per-window scales
+                                  # (int8 MXU dots; ~0.5% aggregation noise)
     param_dtype: str = "float32"
 
     def __post_init__(self):
@@ -46,6 +49,8 @@ class ModelConfig:
                 "'xla' | 'pallas' | 'onehot' | 'window'")
         if self.fuse_gru and self.backend != "window":
             raise ValueError("fuse_gru needs backend='window'")
+        if self.quantized_table and not self.fuse_gru:
+            raise ValueError("quantized_table needs fuse_gru=True")
         if self.edge_gates and self.backend in ("onehot", "window"):
             # count-matrix / one-hot layouts are topology-only and cannot
             # carry per-edge data-dependent gates

@@ -134,7 +134,8 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             # round-trip).  Forward-only — the VJP needs materialized a.
             def step(h, _):
                 h_new = gru_window_step(h, scatter_layout, msg_w_c, msg_b_c,
-                                        prop["gru"])
+                                        prop["gru"],
+                                        quantized=cfg.quantized_table)
                 return h_new, h_new if collect_states else None
         else:
             def step(h, _):

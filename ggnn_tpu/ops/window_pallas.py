@@ -667,6 +667,87 @@ def node_table_block_major(h, msg_w, msg_b, interpret: bool = False):
     )(h, msg_w, msg_b)
 
 
+def _table_block_q8_kernel(h_ref, w_ref, b_ref, out_ref, *, gtypes):
+    """Quantizing variant of :func:`_table_block_kernel`: emits int8 rows
+    with power-of-2 per-window scales (window = ``gtypes`` consecutive
+    types of one src block).  Row layout [D + 128] int8: bytes [0, D) are
+    the quantized values, byte D the window exponent (for the spill
+    path's in-row dequant), rest zero."""
+    t2 = w_ref.shape[0]
+    D = w_ref.shape[-1]
+    for g in range(t2 // gtypes):
+        vals = []
+        for j in range(gtypes):
+            t = g * gtypes + j
+            vals.append(jnp.dot(h_ref[...], w_ref[t],
+                                preferred_element_type=jnp.float32)
+                        + b_ref[t, :][None, :])
+        m = jnp.max(jnp.abs(jnp.stack(vals)))
+        # power-of-2 scale: q = round(v / 2^e) with max|v|/2^e <= 127
+        e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30)) - 6.9886)  # log2(127)
+        e = jnp.clip(e, -100.0, 100.0)
+        inv = jnp.exp2(-e)
+        for j in range(gtypes):
+            t = g * gtypes + j
+            q = jnp.clip(jnp.round(vals[j] * inv), -127.0, 127.0)
+            row0 = t * 128
+            out_ref[row0:row0 + 128, :D] = q.astype(jnp.int8)
+            # exponent in byte 0 of the metadata lane group (iota mask —
+            # Mosaic has no in-kernel scatter)
+            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            out_ref[row0:row0 + 128, D:] = jnp.where(
+                col == 0, e, 0.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def node_table_block_major_q8(h, msg_w, msg_b, window: int,
+                              interpret: bool = False):
+    """Block-major node-transform table, int8-quantized per ``window``-row
+    group with power-of-2 scales (the quantized SERVING path: the window
+    kernel then runs int8×int8→int32 MXU dots — measured 496 vs 612
+    ns/tile — and dequantizes per tile with one scalar multiply).
+
+    Returns (table_q [N·T2, D+128] int8, scales [n_wins] f32).  The
+    exponent rides byte D of every row — the spill path dequantizes from
+    the gathered rows alone (a separate per-edge scale gather would cost
+    the full ~6.5 ns/row engine rate again), and the per-window scale
+    vector is recovered OUTSIDE the kernel from one strided read of the
+    exponent bytes (a tiny [n_wins, 1] kernel output violates Mosaic's
+    (8, 128) block-shape rule)."""
+    N, D = h.shape
+    T2 = msg_w.shape[0]
+    if N % 128 or D % 128:
+        raise ValueError("q8 table needs N % 128 == 0 and D % 128 == 0")
+    if window % 128 or (T2 * 128) % window:
+        raise ValueError("window must be a 128-multiple dividing T2*128")
+    gtypes = window // 128
+    n_blk = N // 128
+    kernel = functools.partial(_table_block_q8_kernel, gtypes=gtypes)
+    tq = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((128, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T2, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T2 * 128, D + 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N * T2, D + 128), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * T2 * D,
+            bytes_accessed=N * D * h.dtype.itemsize + N * T2 * (D + 128),
+            transcendentals=4 * N // 128 * T2,
+        ),
+    )(h, msg_w, msg_b)
+    scales = jnp.exp2(tq[::window, D].astype(jnp.float32))[:, None]
+    return tq, scales
+
+
 def _node_table(h, msg_w, msg_b, row_major: str, interpret: bool):
     """Node-transform table in the layout the window layout was built for."""
     N, D = h.shape
@@ -684,11 +765,8 @@ def _node_table(h, msg_w, msg_b, row_major: str, interpret: bool):
 
 
 def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
-                        table_hbm, c_hbm, init_hbm, h_hbm, wa_ref, b_ref,
-                        uzr_ref, uh_ref, out_hbm, acc, tbl_buf, c_buf,
-                        init_buf, h_buf, tbl_sem, c_sem, init_sem, h_sem,
-                        out_sem, *, window, nbuf, blocks_per_prog, block_n,
-                        packed, has_init):
+                        *rest, window, nbuf, blocks_per_prog, block_n,
+                        packed, has_init, q8=False):
     """Fused propagation step: window accumulation + GRU epilogue.
 
     Same DMA-ring structure as :func:`_window_mono_kernel`, plus per dst
@@ -699,7 +777,19 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     eliminating the [N,D] a-write/read round-trip and the separate GRU
     pass (measured 3.6 ms/step at 262K nodes).  Gate matmuls take bf16
     inputs with f32 accumulation (MXU-native); state h stays f32.
-    Forward-only: training uses the unfused path (custom VJP needs ``a``)."""
+    Forward-only: training uses the unfused path (custom VJP needs ``a``).
+
+    ``q8``: the table is int8 with power-of-2 per-window scales (an extra
+    scalar-prefetch array) — the tile product becomes an int8×int8→int32
+    MXU dot dequantized by one scalar multiply (no int8→bf16 VPU convert
+    of the count stream)."""
+    if q8:
+        scales_ref = rest[0]
+        rest = rest[1:]
+    (table_hbm, c_hbm, init_hbm, h_hbm, wa_ref, b_ref, uzr_ref, uh_ref,
+     out_hbm, acc, tbl_buf, c_buf, init_buf, h_buf, tbl_sem, c_sem,
+     init_sem, h_sem, out_sem) = rest
+    D_val = wa_ref.shape[0]
     p = pl.program_id(0)
     b0 = p * blocks_per_prog
     t0 = tile_start_ref[b0]
@@ -708,9 +798,12 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
     def in_dma(slot, t):
         w = win_of_tile_ref[t]
-        m = pltpu.make_async_copy(
-            table_hbm.at[pl.ds(w * window, window), :],
-            tbl_buf.at[slot], tbl_sem.at[slot])
+        # q8 rows are [D | exponent+padding]: DMA only the value lanes so
+        # the int8 dot consumes a full, unsliced buffer (and the metadata
+        # half never crosses HBM→VMEM)
+        src = (table_hbm.at[pl.ds(w * window, window), :D_val] if q8
+               else table_hbm.at[pl.ds(w * window, window), :])
+        m = pltpu.make_async_copy(src, tbl_buf.at[slot], tbl_sem.at[slot])
         c = pltpu.make_async_copy(
             c_hbm.at[pl.ds(t * block_n, block_n), :],
             c_buf.at[slot], c_sem.at[slot])
@@ -762,7 +855,12 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         m, c = in_dma(slot, t)
         m.wait()
         c.wait()
-        prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
+        if q8:
+            pi = jnp.dot(c_buf[slot], tbl_buf[slot],
+                         preferred_element_type=jnp.int32)
+            prod = pi.astype(jnp.float32) * scales_ref[win_of_tile_ref[t]]
+        else:
+            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
 
         @pl.when(first)
         def _():
@@ -822,21 +920,29 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
                     init, h, wa, b3, uzr, uh, n_blocks: int, window: int,
                     n_progs: int = 1, nbuf: int = 6,
                     out_rows: int = BLOCK_N, packed: bool = False,
-                    has_init: bool = True, interpret: bool = False):
+                    has_init: bool = True, interpret: bool = False,
+                    scales=None):
     """Fused window-aggregation + GRU step (see :func:`_window_step_kernel`).
 
     ``init`` [n_blocks·out_rows, D] f32: spill-path partial aggregation
     (ignored when ``has_init=False``); ``h`` [n_blocks·out_rows, D] f32;
     ``wa`` [D, 3D] / ``uzr`` [D, 2D] / ``uh`` [D, D] fused GRU weights in
-    the compute dtype, ``b3`` [1, 3D] f32.  Returns h_new (f32)."""
-    R, D = table.shape
+    the compute dtype, ``b3`` [1, 3D] f32.  Returns h_new (f32).
+
+    ``scales`` [n_wins] f32 selects the quantized path: ``table`` is then
+    the int8 [R, D+128] output of :func:`node_table_block_major_q8`."""
+    q8 = scales is not None
+    R, D_row = table.shape
+    D = D_row - 128 if q8 else D_row
     if R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
         raise ValueError("n_progs must divide n_blocks")
+    if q8 and packed:
+        raise ValueError("q8 and packed counts are mutually exclusive")
     c_cols = window // 2 if packed else window
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4 if q8 else 3,
         grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -863,8 +969,11 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
     kernel = functools.partial(_window_step_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
                                block_n=out_rows, packed=packed,
-                               has_init=has_init)
+                               has_init=has_init, q8=q8)
     n_tiles = c_stream.shape[0] // out_rows
+    args = (block_of_tile, win_of_tile, tile_start)
+    if q8:
+        args = args + (scales,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -873,22 +982,26 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * out_rows * window * D
             + n_blocks * out_rows * D * 6 * D * 2,
-            bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
+            bytes_accessed=n_tiles * (window * D_row * table.dtype.itemsize
                                       + out_rows * c_cols)
             + n_blocks * out_rows * D * 4 * (3 if has_init else 2),
             transcendentals=3 * n_blocks * out_rows * D,
         ),
-    )(block_of_tile, win_of_tile, tile_start, table, c_stream, init, h,
-      wa, b3, uzr, uh)
+    )(*args, table, c_stream, init, h, wa, b3, uzr, uh)
 
 
 def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, quantized: bool = False):
     """One full propagation step h → h' through the fused kernel:
-    table einsum → spill partial aggregation → fused window-accumulate +
+    table kernel → spill partial aggregation → fused window-accumulate +
     GRU epilogue.  Numerically the gate matmuls run bf16-in/f32-acc when
     ``msg_w`` is bf16 (vs f32 in the unfused path) — serving-path use;
-    training uses :func:`aggregate_window` + the XLA GRU."""
+    training uses :func:`aggregate_window` + the XLA GRU.
+
+    ``quantized``: int8 table with power-of-2 per-window scales
+    (node_table_block_major_q8) — the serving quantization mode; needs a
+    row_major='block' layout and D % 128 == 0.  Adds ~0.5 % relative
+    noise to the aggregation (int8 rounding)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
@@ -900,14 +1013,34 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     arrs = layout.arrays
     N, D = h.shape
     cdt = msg_w.dtype
-    table = _node_table(h.astype(cdt), msg_w, msg_b, row_major, interpret)
+    scales = None
+    if quantized:
+        if row_major != "block":
+            raise ValueError("quantized serving needs row_major='block'")
+        if pack_fwd:
+            raise ValueError("quantized serving is incompatible with "
+                             "pack_counts (int8 MXU consumes raw counts)")
+        table, scales = node_table_block_major_q8(
+            h.astype(cdt), msg_w, msg_b, window=W, interpret=interpret)
+        scales = scales[:, 0]
+    else:
+        table = _node_table(h.astype(cdt), msg_w, msg_b, row_major,
+                            interpret)
     pad = (-table.shape[0]) % W
     if pad:
         table = jnp.pad(table, ((0, pad), (0, 0)))
     n_rows = n_blocks * block_rows
     has_init = spill_meta is not None
     if has_init:
-        init = _spill_scatter(table, arrs, spill_meta, interpret)
+        if quantized:
+            # in-row dequant: byte D of every row is the window exponent
+            raw = table[arrs["s_gather_idx"]]
+            msgs = (raw[:, :D].astype(jnp.float32)
+                    * jnp.exp2(raw[:, D].astype(jnp.float32))[:, None]
+                    ).astype(cdt)
+            init = _spill_scatter_msgs(msgs, arrs, spill_meta, interpret)
+        else:
+            init = _spill_scatter(table, arrs, spill_meta, interpret)
     else:
         init = jnp.zeros((n_rows, D), jnp.float32)
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
@@ -919,7 +1052,7 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
         arrs["win_of_tile"], init, h_pad, wa.astype(cdt),
         b3.astype(jnp.float32), uzr.astype(cdt), gru["uh"].astype(cdt),
         n_blocks=n_blocks, window=W, out_rows=block_rows, packed=pack_fwd,
-        has_init=has_init, interpret=interpret)
+        has_init=has_init, interpret=interpret, scales=scales)
     return h_new[:N]
 
 
@@ -927,9 +1060,13 @@ def _spill_scatter(table, arrs, spill_meta, interpret):
     """Spilled-edge aggregation: per-edge gather from the table + one-hot
     MXU scatter.  16-aligned layouts ride the mono kernel with
     win_stride=edge_align (gather reads ~real rows only)."""
+    return _spill_scatter_msgs(table[arrs["s_gather_idx"]], arrs,
+                               spill_meta, interpret)
+
+
+def _spill_scatter_msgs(msgs, arrs, spill_meta, interpret):
     s_tile_e, s_blocks = spill_meta[1], spill_meta[3]
     align = spill_meta[6] if len(spill_meta) > 6 else None
-    msgs = table[arrs["s_gather_idx"]]
     if align is not None:
         return window_block_spmm_mono(
             msgs, arrs["s_onehot"], arrs["s_tile_start"],

@@ -139,6 +139,48 @@ def test_fused_gru_step_parity(rng, pack, min_edges, row_major):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("min_edges", [2, 120])
+def test_quantized_fused_step(rng, min_edges):
+    """int8-quantized serving step (power-of-2 per-window scales, int8 MXU
+    dots, in-row exponents for the spill dequant) tracks the f32 step
+    within quantization tolerance; scales/table shapes are as specified."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import (gru_window_step,
+                                            node_table_block_major_q8)
+    N, E, T2, D, W = 256, 3000, 4, 128, 256
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=W,
+                              min_edges_per_tile=min_edges, spill_tile_e=16,
+                              n_message_types=T2, block_rows=256,
+                              row_major="block")
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prop = params["prop"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    # table-level check: dequantized table tracks the f32 table
+    tq, scales = node_table_block_major_q8(h, prop["msg_w"], prop["msg_b"],
+                                           window=W, interpret=True)
+    assert tq.shape == (N * T2, D + 128) and scales.shape == (N * T2 // W, 1)
+    from ggnn_tpu.ops.window_pallas import _node_table
+    tf = _node_table(h, prop["msg_w"], prop["msg_b"], "block", True)
+    deq = np.asarray(tq[:, :D], np.float32) * np.exp2(
+        np.asarray(tq[:, D], np.float32))[:, None]
+    err = np.abs(deq - np.asarray(tf))
+    lim = np.repeat(np.asarray(scales)[:, 0], W)[:, None]  # 1 LSB per window
+    assert (err <= lim * 0.500001).all()
+    # step-level parity within quantization noise
+    a = aggregate_window(h, lay, prop["msg_w"], prop["msg_b"],
+                         interpret=True)
+    ref = gru_update(prop["gru"], h, a)
+    got = gru_window_step(h, lay, prop["msg_w"], prop["msg_b"], prop["gru"],
+                          interpret=True, quantized=True)
+    # int8 window-scale noise propagated through the GRU gates: bounded
+    # absolute deviation (relative blows up near zero crossings)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.1, atol=0.08)
+    assert float(jnp.mean(jnp.abs(got - ref))) < 1e-2
+
+
 def test_propagate_fused_backend(rng):
     """Full T-step propagation with backend='window', fuse_gru=True matches
     the XLA path (scan, layout through jit args)."""
