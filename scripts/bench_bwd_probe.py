@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Training-backward decomposition (community config, with_grad layout).
+One optimizer step measures ~363 ms (5 propagation steps) — fwd is
+~10 ms/step, so the backward is ~60 ms/step.  Candidate pieces:
+
+  vg       — value_and_grad of sum(a^2) on ONE aggregation (ref ~41 ms)
+  ykernel  — transposed window kernel Y = C^T · da alone
+  spillbwd — da row-gather + segment_sum into T2·N (4.2M) segments
+  spillbwd_compact — same via compact unique-row segments + sorted
+             unique placement back into the full row space
+  grubwd   — jax.grad through gru_update alone
+
+Run ON THE TPU: python -u scripts/bench_bwd_probe.py
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggnn_tpu.data.synthetic import synthetic_batch
+from ggnn_tpu.models import ModelConfig, init_params
+from ggnn_tpu.models.ggnn import fuse_gru, gru_update
+from ggnn_tpu.ops import window_pallas as wp
+
+D, W, BR, T = 128, 512, 512, 8
+T2 = 2 * T
+
+
+def timeit(fn, iters=6, warmup=2, tag=""):
+    t0 = time.perf_counter()
+    fn()
+    comp = time.perf_counter() - t0
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{tag}: {best * 1e3:.2f} ms (compile {comp:.0f}s)", flush=True)
+    return best
+
+
+def diff_chain(tag, chain, *args):
+    try:
+        t1 = timeit(lambda: float(chain(*args, k=1)), tag=f"{tag} k=1")
+        t9 = timeit(lambda: float(chain(*args, k=9)), tag=f"{tag} k=9")
+    except Exception as e:
+        print(f"  => {tag} FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        return None
+    per = (t9 - t1) / 8
+    print(f"  => {tag}: {per * 1e3:.3f} ms", flush=True)
+    return per
+
+
+def main():
+    batch = synthetic_batch(262_144, 4_000_000, T, annotation_dim=8, seed=0,
+                            node_mult=128, n_communities=512, p_intra=0.95)
+    N = batch.spec.n_pad
+    R = T2 * N
+    cfg = ModelConfig(state_dim=D, annotation_dim=8, n_edge_types=T,
+                      compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    prop = params["prop"]
+    msg_w = prop["msg_w"].astype(jnp.bfloat16)
+    msg_b = prop["msg_b"].astype(jnp.bfloat16)
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (N, D), dtype=jnp.float32)
+    da0 = jax.random.normal(jax.random.PRNGKey(3), (N, D),
+                            dtype=jnp.bfloat16)
+    lay = wp.build_window_layout(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        N, window=W, n_message_types=T2, block_rows=BR, with_grad=True,
+        row_major="block")
+    arrs = lay.arrays
+    n_wins, n_gt = lay.grad_meta
+    E_s = int(arrs["s_bwd_ids"].shape[0])
+    print(f"spilled real edges: {E_s}", flush=True)
+
+    # compact spill-bwd machinery (host, static): unique spilled rows
+    ids = np.asarray(arrs["s_bwd_ids"])  # sorted by row already
+    uniq_rows, seg_of_edge = np.unique(ids, return_inverse=True)
+    U = uniq_rows.shape[0]
+    print(f"unique spilled rows: {U}", flush=True)
+    seg_of_edge = jnp.asarray(seg_of_edge.astype(np.int32))
+    uniq_rows_j = jnp.asarray(uniq_rows.astype(np.int32))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def vg_chain(h, arrs, k):
+        def body(i, carry):
+            h, tot = carry
+
+            def loss(hh):
+                a = wp.aggregate_window(hh.astype(jnp.bfloat16), lay, msg_w,
+                                        msg_b, interpret=False)
+                return jnp.sum(a * a)
+
+            l, g = jax.value_and_grad(loss)(h)
+            h = h + 1e-30 * g
+            return h, tot + l
+        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def yk_chain(da, arrs, k):
+        da_pad = da.astype(jnp.bfloat16)
+
+        def body(i, carry):
+            da, tot = carry
+            Y = wp.window_block_spmm_mono(
+                da, arrs["ct_stream"], arrs["gt_tile_start"],
+                arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+                n_blocks=n_wins, window=BR, out_rows=W)
+            s = Y[0, 0]
+            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
+            return da, tot + s
+        _, tot = jax.lax.fori_loop(0, k, body, (da_pad, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def sb_chain(da, arrs, k):
+        def body(i, carry):
+            da, tot = carry
+            G = da[arrs["s_bwd_dst"]]
+            Y = jax.ops.segment_sum(G, arrs["s_bwd_ids"], num_segments=R,
+                                    indices_are_sorted=True)
+            s = Y[0, 0].astype(jnp.float32)
+            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
+            return da, tot + s
+        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def sbc_chain(da, arrs, k):
+        def body(i, carry):
+            da, tot = carry
+            G = da[arrs["s_bwd_dst"]]
+            Yc = jax.ops.segment_sum(G, seg_of_edge, num_segments=U,
+                                     indices_are_sorted=True)
+            Y = jnp.zeros((R, D), Yc.dtype).at[uniq_rows_j].set(
+                Yc, unique_indices=True, indices_are_sorted=True)
+            s = Y[0, 0].astype(jnp.float32)
+            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
+            return da, tot + s
+        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+        return tot
+
+    fused = fuse_gru(prop["gru"])
+    a0 = jax.random.normal(jax.random.PRNGKey(4), (N, D), dtype=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def gb_chain(h, a, k):
+        def body(i, carry):
+            h, tot = carry
+
+            def loss(hh, aa):
+                return jnp.sum(gru_update(prop["gru"], hh, aa, fused) ** 2)
+
+            l, (gh, ga) = jax.value_and_grad(loss, argnums=(0, 1))(h, a)
+            h = h + 1e-30 * gh
+            return h, tot + l
+        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+        return tot
+
+    diff_chain("vg full agg", vg_chain, h0, arrs)
+    diff_chain("ykernel", yk_chain, da0, arrs)
+    diff_chain("spillbwd 4.2M-seg", sb_chain, da0, arrs)
+    diff_chain("spillbwd compact", sbc_chain, da0, arrs)
+    diff_chain("gru fwd+bwd", gb_chain, h0, a0)
+
+
+if __name__ == "__main__":
+    main()
