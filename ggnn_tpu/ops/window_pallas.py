@@ -251,20 +251,29 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             # ~real spilled rows instead of per-block tile_e-padded ones
             edge_align=(16 if spill_tile_e % 16 == 0 else None))
 
-    # dense tiles (+ one dummy all-zero tile per block so the kernel's
-    # first-tile zero-init covers every output block)
+    # dense tiles (+ one dummy tile per block so the kernel's first-tile
+    # zero-init covers every output block).  The count STREAM holds REAL
+    # tiles only: dummies are marked win_of_tile = -1 (the kernel issues
+    # no DMA for them) and ``c_off`` maps each real tile to its compact
+    # stream slot — without this the backward stream is ~50 % all-zero
+    # dummy blocks (one per empty table window)
+    real_keys = (plan.dense_keys if plan is not None
+                 else np.unique(key[keep]))
     dummy = np.arange(n_blocks, dtype=np.int64) * n_wins
-    uniq_t = np.unique(np.concatenate(
-        [plan.dense_keys if plan is not None else key[keep], dummy]))
+    uniq_t = np.unique(np.concatenate([real_keys, dummy]))
     n_tiles = uniq_t.shape[0]
+    n_real = real_keys.shape[0]
+    is_real = np.isin(uniq_t, real_keys, assume_unique=True)
     block_of_tile = (uniq_t // n_wins).astype(np.int32)
-    win_of_tile = (uniq_t % n_wins).astype(np.int32)
+    win_of_tile = np.where(is_real, uniq_t % n_wins, -1).astype(np.int32)
+    c_off = np.zeros(n_tiles, np.int32)
+    c_off[is_real] = np.arange(n_real, dtype=np.int32)
     tile_counts = np.bincount(block_of_tile, minlength=n_blocks)
     tile_start = np.zeros(n_blocks + 1, np.int32)
     np.cumsum(tile_counts, out=tile_start[1:])
 
     if pad_tiles_to is not None:
-        # append all-zero tiles to the LAST block (stacking layouts of
+        # append no-op dummy tiles to the LAST block (stacking layouts of
         # different topologies — e.g. per-shard — to equal shapes)
         extra = pad_tiles_to - n_tiles
         if extra < 0:
@@ -274,16 +283,22 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                 [block_of_tile,
                  np.full(extra, n_blocks - 1, np.int32)])
             win_of_tile = np.concatenate(
-                [win_of_tile, np.zeros(extra, np.int32)])
+                [win_of_tile, np.full(extra, -1, np.int32)])
+            c_off = np.concatenate([c_off, np.zeros(extra, np.int32)])
             tile_start[-1] += extra
             n_tiles = pad_tiles_to
 
+    # static-budget layouts pad the stream too (compiled-once serving
+    # needs topology-independent array shapes); padding rows are never
+    # DMA'd.  Unpadded (training/bench) layouts keep the compact stream.
+    stream_tiles = (pad_tiles_to if pad_tiles_to is not None
+                    else max(n_real, 1))
     if plan is not None:
         # (saturation is guaranteed by the plan's max_count pair filter)
-        c = plan.fill_counts(uniq_t, pack_fwd, total_tiles=n_tiles)
+        c = plan.fill_counts(real_keys, pack_fwd, total_tiles=stream_tiles)
     else:
-        tile_of_edge = np.searchsorted(uniq_t, key[keep])
-        c = np.zeros((n_tiles * block_rows, window), np.int8)
+        tile_of_edge = np.searchsorted(real_keys, key[keep])
+        c = np.zeros((stream_tiles * block_rows, window), np.int8)
         np.add.at(c, (tile_of_edge * block_rows
                       + (dst[keep] - block[keep] * block_rows),
                       rows[keep] % window), 1)
@@ -296,7 +311,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     arrays = {"c_stream": jnp.asarray(c),
               "tile_start": jnp.asarray(tile_start),
               "block_of_tile": jnp.asarray(block_of_tile),
-              "win_of_tile": jnp.asarray(win_of_tile)}
+              "win_of_tile": jnp.asarray(win_of_tile),
+              "c_off": jnp.asarray(c_off)}
     spill_meta = None
     if spill is not None:
         sdev = spill.to_device()
@@ -307,23 +323,31 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     if with_grad:
         # transposed tiles for the backward pass Y = Cᵀ·da: out blocks are
         # W-row table ranges (every window gets ≥1 tile so its Y rows are
-        # initialized), input blocks are the 128-row dst blocks of da
+        # initialized), input blocks are the 128-row dst blocks of da.
+        # Same compact-stream scheme as the forward: windows with no real
+        # tiles keep only a no-DMA dummy (that's ~half of them — the
+        # dummy-per-window zero-init otherwise streams GBs of zero counts)
+        real_t = (plan.dense_keys_t if plan is not None
+                  else np.unique(win[keep] * n_blocks + block[keep]))
         uniq_gt = np.unique(np.concatenate(
-            [plan.dense_keys_t if plan is not None
-             else win[keep] * n_blocks + block[keep],
-             np.arange(n_wins, dtype=np.int64) * n_blocks]))
+            [real_t, np.arange(n_wins, dtype=np.int64) * n_blocks]))
         n_gt = uniq_gt.shape[0]
+        n_gt_real = real_t.shape[0]
+        is_real_t = np.isin(uniq_gt, real_t, assume_unique=True)
         gt_block = (uniq_gt // n_blocks).astype(np.int32)   # out: window idx
-        gt_win = (uniq_gt % n_blocks).astype(np.int32)      # in: dst block
+        gt_win = np.where(is_real_t, uniq_gt % n_blocks,    # in: dst block
+                          -1).astype(np.int32)
+        gt_c_off = np.zeros(n_gt, np.int32)
+        gt_c_off[is_real_t] = np.arange(n_gt_real, dtype=np.int32)
         gt_counts = np.bincount(gt_block, minlength=n_wins)
         gt_start = np.zeros(n_wins + 1, np.int32)
         np.cumsum(gt_counts, out=gt_start[1:])
         if plan is not None:
-            ct = plan.fill_counts_t(uniq_gt, pack_bwd)
+            ct = plan.fill_counts_t(real_t, pack_bwd)
         else:
             key_t = win[keep] * n_blocks + block[keep]
-            gt_of_edge = np.searchsorted(uniq_gt, key_t)
-            ct = np.zeros((n_gt * window, block_rows), np.int8)
+            gt_of_edge = np.searchsorted(real_t, key_t)
+            ct = np.zeros((max(n_gt_real, 1) * window, block_rows), np.int8)
             np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
                            dst[keep] - block[keep] * block_rows), 1)
             if pack_bwd:
@@ -331,18 +355,34 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         arrays.update(ct_stream=jnp.asarray(ct),
                       gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
-                      gt_win_of_tile=jnp.asarray(gt_win))
+                      gt_win_of_tile=jnp.asarray(gt_win),
+                      gt_c_off=jnp.asarray(gt_c_off))
         if spill is not None:
             # spill backward: REAL edges only (no packed padding), sorted
             # by gather row so the XLA scatter takes the sorted fast path
             # (unsorted into 4.2M segments measured 84 ns/row — 44 ms of
-            # an 81 ms backward)
+            # an 81 ms backward).  Segment ids are COMPACT (one segment
+            # per touched row, typically ≪ T2·N): the backward then
+            # segment-sums into [U, D] and scatter-adds those U rows into
+            # Y, instead of materializing a second full [T2·N, D] buffer
             sp_rows = rows[~keep]
             sp_dst = dst[~keep]
             order = np.argsort(sp_rows, kind="stable")
-            arrays["s_bwd_ids"] = jnp.asarray(
-                sp_rows[order].astype(np.int32))
+            sr = sp_rows[order]
+            newrow = np.empty(sr.shape[0], bool)
+            newrow[:1] = True
+            np.not_equal(sr[1:], sr[:-1], out=newrow[1:])
+            u_rows = sr[newrow]
+            n_u = u_rows.shape[0]
+            u_pad = -(-max(n_u, 1) // 8) * 8
+            # padding segments receive no edges (stay zero); their target
+            # row R = T2·N is out of bounds, which jax scatter-add DROPS
+            rows_pad = np.full(u_pad, t2 * n_src_rows, np.int64)
+            rows_pad[:n_u] = u_rows
             arrays["s_bwd_dst"] = jnp.asarray(sp_dst[order].astype(np.int32))
+            arrays["s_bwd_seg"] = jnp.asarray(
+                (np.cumsum(newrow) - 1).astype(np.int32))
+            arrays["s_bwd_rows"] = jnp.asarray(rows_pad.astype(np.int32))
         grad_meta = (n_wins, int(n_gt))
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
@@ -388,7 +428,7 @@ def window_layout_for_batch(batch, window: int = 512,
 
 
 def _window_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
-                   table_ref, c_ref, out_ref):
+                   c_off_ref, table_ref, c_ref, out_ref):
     i = pl.program_id(0)
     b = block_of_tile_ref[i]
 
@@ -396,31 +436,42 @@ def _window_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    c = c_ref[...].astype(table_ref.dtype)                   # [128, W]
-    out_ref[...] += jnp.dot(c, table_ref[...],
-                            preferred_element_type=jnp.float32)
+    @pl.when(win_of_tile_ref[i] >= 0)
+    def _():
+        c = c_ref[...].astype(table_ref.dtype)               # [128, W]
+        out_ref[...] += jnp.dot(c, table_ref[...],
+                                preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "interpret"))
 def window_block_spmm(table, c_stream, tile_start, block_of_tile,
-                      win_of_tile, n_blocks: int, window: int,
+                      win_of_tile, n_blocks: int, window: int, c_off=None,
                       interpret: bool = False):
     """out[b·128:(b+1)·128] = Σ_tiles(b) C_tile · table[win·W:(win+1)·W].
 
-    ``table`` rows must be a multiple of ``window`` (pad with zeros)."""
+    ``table`` rows must be a multiple of ``window`` (pad with zeros).
+    Reference auto-pipeline variant of :func:`window_block_spmm_mono`
+    (same dummy-tile convention: win_of_tile < 0 contributes nothing,
+    ``c_off`` addresses a compact real-tiles-only stream)."""
     R, D = table.shape
     if R % window:
         raise ValueError("table rows must be a multiple of window")
-    n_tiles = c_stream.shape[0] // BLOCK_N
+    n_tiles = win_of_tile.shape[0]
+    if c_off is None:
+        c_off = jnp.arange(n_tiles, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((window, D), lambda i, bt, wt, ts: (wt[i], 0)),
-            pl.BlockSpec((BLOCK_N, window), lambda i, bt, wt, ts: (i, 0)),
+            pl.BlockSpec((window, D),
+                         lambda i, bt, wt, ts, co: (jnp.maximum(wt[i], 0),
+                                                    0)),
+            pl.BlockSpec((BLOCK_N, window),
+                         lambda i, bt, wt, ts, co: (co[i], 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK_N, D), lambda i, bt, wt, ts: (bt[i], 0)),
+        out_specs=pl.BlockSpec((BLOCK_N, D),
+                               lambda i, bt, wt, ts, co: (bt[i], 0)),
     )
     return pl.pallas_call(
         _window_kernel,
@@ -434,7 +485,7 @@ def window_block_spmm(table, c_stream, tile_start, block_of_tile,
             + n_blocks * BLOCK_N * D * 4,
             transcendentals=0,
         ),
-    )(block_of_tile, win_of_tile, tile_start, table, c_stream)
+    )(block_of_tile, win_of_tile, tile_start, c_off, table, c_stream)
 
 
 def _count_dot(c, tbl, window, packed):
@@ -460,16 +511,22 @@ def _count_dot(c, tbl, window, packed):
 
 
 def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
-                        table_hbm, c_hbm, out_hbm, acc, tbl_buf, c_buf,
-                        tbl_sem, c_sem, out_sem, *, window, nbuf,
-                        blocks_per_prog, block_n, packed=False,
-                        win_stride=None):
+                        c_off_ref, table_hbm, c_hbm, out_hbm, acc, cast_buf,
+                        tbl_buf, c_buf, tbl_sem, c_sem, out_sem, *, window,
+                        nbuf, blocks_per_prog, block_n, packed=False,
+                        win_stride=None, cast_out=False):
     """Manual-DMA variant: the automatic pipeline cannot prefetch through
     the DYNAMIC table-window index map (win_of_tile[i]) — measured ~2.8 us
     of serialized DMA latency per tile, which dominated the whole step.
     Here an ``nbuf``-deep ring issues (table-window, count-block) copies
     ahead of the MXU, with per-dst-block accumulators flushed async (same
-    structure as scatter_pallas._scatter_mono_kernel)."""
+    structure as scatter_pallas._scatter_mono_kernel).
+
+    DUMMY tiles (``win_of_tile[t] < 0``) exist only to zero-initialize
+    their output block: no DMA is issued and no product computed — the
+    count stream holds REAL tiles only, addressed via ``c_off_ref`` (the
+    transposed/backward layout is ~50 % dummies: one per empty table
+    window — skipping them halves its stream bytes)."""
     p = pl.program_id(0)
     b0 = p * blocks_per_prog
     t0 = tile_start_ref[b0]
@@ -482,21 +539,27 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
             table_hbm.at[pl.ds(w * stride, window), :],
             tbl_buf.at[slot], tbl_sem.at[slot])
         c = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(t * block_n, block_n), :],
+            c_hbm.at[pl.ds(c_off_ref[t] * block_n, block_n), :],
             c_buf.at[slot], c_sem.at[slot])
         return m, c
 
+    def start_in(slot, t):
+        @pl.when(win_of_tile_ref[t] >= 0)
+        def _():
+            m, c = in_dma(slot, t)
+            m.start()
+            c.start()
+
     def out_dma(par, blk):
+        src = cast_buf.at[par] if cast_out else acc.at[par]
         return pltpu.make_async_copy(
-            acc.at[par], out_hbm.at[pl.ds(blk * block_n, block_n), :],
+            src, out_hbm.at[pl.ds(blk * block_n, block_n), :],
             out_sem.at[par])
 
     def prolog(k, _):
         @pl.when(t0 + k < t1)
         def _():
-            m, c = in_dma(k, t0 + k)
-            m.start()
-            c.start()
+            start_in(k, t0 + k)
         return 0
 
     jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
@@ -507,32 +570,42 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         par = jax.lax.rem(blk - b0, 2)
         first = t == tile_start_ref[blk]
         last = t == tile_start_ref[blk + 1] - 1
+        real = win_of_tile_ref[t] >= 0
 
         @pl.when(jnp.logical_and(first, blk - b0 >= 2))
         def _():
             out_dma(par, blk - 2).wait()
 
-        m, c = in_dma(slot, t)
-        m.wait()
-        c.wait()
-        prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
-
-        @pl.when(first)
+        # a dummy tile sorts first within its block (or is its only tile):
+        # zero-init the accumulator instead of waiting on a DMA that was
+        # never issued
+        @pl.when(jnp.logical_and(first, jnp.logical_not(real)))
         def _():
-            acc[par] = prod
+            acc[par] = jnp.zeros_like(acc[par])
 
-        @pl.when(jnp.logical_not(first))
+        @pl.when(real)
         def _():
-            acc[par] = acc[par] + prod
+            m, c = in_dma(slot, t)
+            m.wait()
+            c.wait()
+            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
+
+            @pl.when(first)
+            def _():
+                acc[par] = prod
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                acc[par] = acc[par] + prod
 
         @pl.when(t + nbuf < t1)
         def _():
-            m2, c2 = in_dma(slot, t + nbuf)
-            m2.start()
-            c2.start()
+            start_in(slot, t + nbuf)
 
         @pl.when(last)
         def _():
+            if cast_out:
+                cast_buf[par] = acc[par].astype(cast_buf.dtype)
             out_dma(par, blk).start()
 
         return 0
@@ -547,13 +620,13 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
                                     "out_rows", "packed", "win_stride",
-                                    "interpret"))
+                                    "out_dtype", "interpret"))
 def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                            win_of_tile, n_blocks: int, window: int,
                            n_progs: int = 1, nbuf: int = 6,
                            out_rows: int = BLOCK_N, packed: bool = False,
-                           win_stride: int | None = None,
-                           interpret: bool = False):
+                           win_stride: int | None = None, c_off=None,
+                           out_dtype=None, interpret: bool = False):
     """Manual-DMA-ring variant of :func:`window_block_spmm` (production).
 
     ``out_rows`` generalizes the output-block height so the SAME kernel
@@ -569,21 +642,37 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     ``win_stride`` (rows): table-window offsets become win·win_stride
     instead of win·window — the edge_align packing path, where
     ``window``-row message reads start at finer-aligned positions and may
-    overlap (see scatter_pallas.build_dst_block_layout edge_align)."""
+    overlap (see scatter_pallas.build_dst_block_layout edge_align).
+
+    ``c_off`` [n_tiles] i32: count-stream row-block index per tile, for
+    layouts whose stream holds REAL tiles only (dummy tiles are marked
+    ``win_of_tile = -1`` and skipped — no DMA, no matmul).  ``None``
+    means a dense stream (tile t at rows [t·out_rows, (t+1)·out_rows)).
+
+    ``out_dtype`` (default f32): narrower outputs (bf16 for the backward
+    Y — its consumers accumulate in f32 anyway) halve the flush DMA and
+    every downstream read of a [n_wins·W, D]-sized intermediate."""
     R, D = table.shape
     if win_stride is None and R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
         raise ValueError("n_progs must divide n_blocks")
+    n_tiles = win_of_tile.shape[0]
+    if c_off is None:
+        c_off = jnp.arange(n_tiles, dtype=jnp.int32)
+    out_dtype = jnp.dtype(jnp.float32 if out_dtype is None else out_dtype)
+    cast_out = out_dtype != jnp.dtype(jnp.float32)
     c_cols = window // 2 if packed else window
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, out_rows, D), jnp.float32),
+            pltpu.VMEM((2, out_rows, D) if cast_out else (1, 8, 128),
+                       out_dtype),
             pltpu.VMEM((nbuf, window, D), table.dtype),
             pltpu.VMEM((nbuf, out_rows, c_cols), c_stream.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -594,21 +683,20 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
                                block_n=out_rows, packed=packed,
-                               win_stride=win_stride)
-    n_tiles = c_stream.shape[0] // out_rows
+                               win_stride=win_stride, cast_out=cast_out)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * out_rows, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * out_rows, D), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * out_rows * window * D,
             bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
                                       + out_rows * c_cols)
-            + n_blocks * out_rows * D * 4,
+            + n_blocks * out_rows * D * out_dtype.itemsize,
             transcendentals=0,
         ),
-    )(block_of_tile, win_of_tile, tile_start, table, c_stream)
+    )(block_of_tile, win_of_tile, tile_start, c_off, table, c_stream)
 
 
 def _table_block_kernel(h_ref, w_ref, b_ref, out_ref):
@@ -765,8 +853,8 @@ def _node_table(h, msg_w, msg_b, row_major: str, interpret: bool):
 
 
 def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
-                        *rest, window, nbuf, blocks_per_prog, block_n,
-                        packed, has_init, q8=False):
+                        c_off_ref, *rest, window, nbuf, blocks_per_prog,
+                        block_n, packed, has_init, q8=False):
     """Fused propagation step: window accumulation + GRU epilogue.
 
     Same DMA-ring structure as :func:`_window_mono_kernel`, plus per dst
@@ -805,9 +893,16 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                else table_hbm.at[pl.ds(w * window, window), :])
         m = pltpu.make_async_copy(src, tbl_buf.at[slot], tbl_sem.at[slot])
         c = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(t * block_n, block_n), :],
+            c_hbm.at[pl.ds(c_off_ref[t] * block_n, block_n), :],
             c_buf.at[slot], c_sem.at[slot])
         return m, c
+
+    def start_in(slot, t):
+        @pl.when(win_of_tile_ref[t] >= 0)
+        def _():
+            m, c = in_dma(slot, t)
+            m.start()
+            c.start()
 
     def st_dma(par, blk):
         """Per-block state DMAs: spill-init (consumed at the block's first
@@ -829,9 +924,7 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     def prolog(k, _):
         @pl.when(t0 + k < t1)
         def _():
-            m, c = in_dma(k, t0 + k)
-            m.start()
-            c.start()
+            start_in(k, t0 + k)
         return 0
 
     jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
@@ -847,39 +940,38 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         par = jax.lax.rem(blk - b0, 2)
         first = t == tile_start_ref[blk]
         last = t == tile_start_ref[blk + 1] - 1
+        real = win_of_tile_ref[t] >= 0
 
         @pl.when(jnp.logical_and(first, blk - b0 >= 2))
         def _():
             out_dma(par, blk - 2).wait()
-
-        m, c = in_dma(slot, t)
-        m.wait()
-        c.wait()
-        if q8:
-            pi = jnp.dot(c_buf[slot], tbl_buf[slot],
-                         preferred_element_type=jnp.int32)
-            prod = pi.astype(jnp.float32) * scales_ref[win_of_tile_ref[t]]
-        else:
-            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
 
         @pl.when(first)
         def _():
             for d in st_dma(par, blk):
                 d.wait()
             if has_init:
-                acc[par] = init_buf[par] + prod
+                acc[par] = init_buf[par]
             else:
-                acc[par] = prod
+                acc[par] = jnp.zeros_like(acc[par])
 
-        @pl.when(jnp.logical_not(first))
+        @pl.when(real)
         def _():
+            m, c = in_dma(slot, t)
+            m.wait()
+            c.wait()
+            if q8:
+                pi = jnp.dot(c_buf[slot], tbl_buf[slot],
+                             preferred_element_type=jnp.int32)
+                prod = (pi.astype(jnp.float32)
+                        * scales_ref[win_of_tile_ref[t]])
+            else:
+                prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
             acc[par] = acc[par] + prod
 
         @pl.when(t + nbuf < t1)
         def _():
-            m2, c2 = in_dma(slot, t + nbuf)
-            m2.start()
-            c2.start()
+            start_in(slot, t + nbuf)
 
         @pl.when(last)
         def _():
@@ -921,7 +1013,7 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
                     n_progs: int = 1, nbuf: int = 6,
                     out_rows: int = BLOCK_N, packed: bool = False,
                     has_init: bool = True, interpret: bool = False,
-                    scales=None):
+                    scales=None, c_off=None):
     """Fused window-aggregation + GRU step (see :func:`_window_step_kernel`).
 
     ``init`` [n_blocks·out_rows, D] f32: spill-path partial aggregation
@@ -940,9 +1032,11 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
         raise ValueError("n_progs must divide n_blocks")
     if q8 and packed:
         raise ValueError("q8 and packed counts are mutually exclusive")
+    if c_off is None:
+        c_off = jnp.arange(win_of_tile.shape[0], dtype=jnp.int32)
     c_cols = window // 2 if packed else window
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4 if q8 else 3,
+        num_scalar_prefetch=5 if q8 else 4,
         grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -970,8 +1064,8 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
                                blocks_per_prog=n_blocks // n_progs,
                                block_n=out_rows, packed=packed,
                                has_init=has_init, q8=q8)
-    n_tiles = c_stream.shape[0] // out_rows
-    args = (block_of_tile, win_of_tile, tile_start)
+    n_tiles = win_of_tile.shape[0]
+    args = (block_of_tile, win_of_tile, tile_start, c_off)
     if q8:
         args = args + (scales,)
     return pl.pallas_call(
@@ -1052,7 +1146,8 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
         arrs["win_of_tile"], init, h_pad, wa.astype(cdt),
         b3.astype(jnp.float32), uzr.astype(cdt), gru["uh"].astype(cdt),
         n_blocks=n_blocks, window=W, out_rows=block_rows, packed=pack_fwd,
-        has_init=has_init, interpret=interpret, scales=scales)
+        has_init=has_init, interpret=interpret, scales=scales,
+        c_off=arrs.get("c_off"))
     return h_new[:N]
 
 
@@ -1107,6 +1202,7 @@ def _agg_window_impl(meta, interpret, arrs, h, msg_w, msg_b):
                                  arrs["block_of_tile"], arrs["win_of_tile"],
                                  n_blocks=n_blocks, window=W,
                                  out_rows=block_rows, packed=pack_fwd,
+                                 c_off=arrs.get("c_off"),
                                  interpret=interpret)
     if spill_meta is not None:
         out = out + _spill_scatter(table, arrs, spill_meta, interpret)
@@ -1138,17 +1234,29 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     da_pad = jnp.pad(da.astype(h.dtype),
                      ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
     # Y[row] = Σ_{(u,t,v)} ā_v over windowed edges: the same mono kernel,
-    # transposed roles (out blocks = W table rows, inputs = ā dst blocks)
+    # transposed roles (out blocks = W table rows, inputs = ā dst blocks).
+    # Y is a [T2·N, D]-sized intermediate — emit it in the compute dtype
+    # (bf16 halves ~3 full HBM passes; the einsums below accumulate f32)
     Y = window_block_spmm_mono(
         da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
         arrs["gt_block_of_tile"], arrs["gt_win_of_tile"], n_blocks=n_wins,
         window=block_rows, out_rows=W, packed=pack_bwd,
+        c_off=arrs.get("gt_c_off"), out_dtype=h.dtype,
         interpret=interpret)[:R]
     if spill_meta is not None:
-        # real spill edges only, pre-sorted by gather row (sorted scatter)
+        # real spill edges only, pre-sorted by gather row: segment-sum
+        # into the COMPACT touched-row space [U, D], then one sorted
+        # unique-index scatter-add into Y (padding rows target R → jax
+        # drops out-of-bounds scatter updates).  The gather engine is
+        # row-rate-bound, not byte-bound, so gathering f32 da costs the
+        # same as bf16 — keep f32 accumulation, cast once at the scatter
         G = da[arrs["s_bwd_dst"]]
-        Y = Y + jax.ops.segment_sum(G, arrs["s_bwd_ids"], num_segments=R,
-                                    indices_are_sorted=True)
+        u_pad = arrs["s_bwd_rows"].shape[0]
+        Ysp = jax.ops.segment_sum(G, arrs["s_bwd_seg"], num_segments=u_pad,
+                                  indices_are_sorted=True)
+        Y = Y.at[arrs["s_bwd_rows"]].add(Ysp.astype(Y.dtype),
+                                         indices_are_sorted=True,
+                                         unique_indices=True)
     if row_major == "block":
         Yb = Y.reshape(N // 128, T2, 128, D)
         dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,

@@ -3,14 +3,21 @@
 One optimizer step measures ~363 ms (5 propagation steps) — fwd is
 ~10 ms/step, so the backward is ~60 ms/step.  Candidate pieces:
 
+  step     — one full train step (fwd+bwd+Adam) via the model path
   vg       — value_and_grad of sum(a^2) on ONE aggregation (ref ~41 ms)
+  fwdagg   — the same aggregation forward-only
   ykernel  — transposed window kernel Y = C^T · da alone
-  spillbwd — da row-gather + segment_sum into T2·N (4.2M) segments
-  spillbwd_compact — same via compact unique-row segments + sorted
-             unique placement back into the full row space
+  gather   — da row-gather for the spilled edges alone
+  spillbwd — da row-gather + segment_sum into T2·N (4.2M) segments + add
+             (the production spill backward as written today)
+  spillbwd_inplace — da row-gather + Y.at[ids].add(G) on a loop-carried Y
+             (fused scatter, no zeros(R,D) materialization)
+  einsums  — dh/dW/db block-major einsums from a fixed Y
   grubwd   — jax.grad through gru_update alone
 
-Run ON THE TPU: python -u scripts/bench_bwd_probe.py
+All layouts flow through jit ARGUMENTS (DeviceWindowLayout is a
+registered pytree) — closure capture blows the remote-compile payload
+(CLAUDE.md HTTP 413).  Run ON THE TPU: python -u scripts/bench_bwd_probe.py
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ import numpy as np
 
 from ggnn_tpu.data.synthetic import synthetic_batch
 from ggnn_tpu.models import ModelConfig, init_params
-from ggnn_tpu.models.ggnn import fuse_gru, gru_update
+from ggnn_tpu.models.ggnn import fuse_gru, gru_update, propagate
 from ggnn_tpu.ops import window_pallas as wp
 
 D, W, BR, T = 128, 512, 512, 8
@@ -69,7 +76,7 @@ def main():
     N = batch.spec.n_pad
     R = T2 * N
     cfg = ModelConfig(state_dim=D, annotation_dim=8, n_edge_types=T,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", backend="window")
     params = init_params(jax.random.PRNGKey(1), cfg)
     prop = params["prop"]
     msg_w = prop["msg_w"].astype(jnp.bfloat16)
@@ -79,23 +86,41 @@ def main():
                             dtype=jnp.bfloat16)
     lay = wp.build_window_layout(
         batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
-        N, window=W, n_message_types=T2, block_rows=BR, with_grad=True,
-        row_major="block")
+        N, window=W, n_message_types=T2,
+        block_rows=BR, with_grad=True, row_major="block")
     arrs = lay.arrays
     n_wins, n_gt = lay.grad_meta
     E_s = int(arrs["s_bwd_ids"].shape[0])
-    print(f"spilled real edges: {E_s}", flush=True)
+    print(f"layout stats: {lay.stats}", flush=True)
+    print(f"spilled real edges: {E_s}  grad tiles: {n_gt}", flush=True)
 
-    # compact spill-bwd machinery (host, static): unique spilled rows
-    ids = np.asarray(arrs["s_bwd_ids"])  # sorted by row already
-    uniq_rows, seg_of_edge = np.unique(ids, return_inverse=True)
-    U = uniq_rows.shape[0]
-    print(f"unique spilled rows: {U}", flush=True)
-    seg_of_edge = jnp.asarray(seg_of_edge.astype(np.int32))
-    uniq_rows_j = jnp.asarray(uniq_rows.astype(np.int32))
+    # ---- full train step reference (the bench.py train body) ----
+    import optax
+    optimizer = optax.adam(1e-3)
+    opt_state0 = optimizer.init(prop)
+    ann = jnp.asarray(batch.annotations)
+    es, ed = jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_dst)
+    et, em = jnp.asarray(batch.edge_type), jnp.asarray(batch.edge_mask)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def vg_chain(h, arrs, k):
+    def step_chain(prop, opt_state, lay, k):
+        def body(carry, _):
+            prop, opt_state = carry
+
+            def loss_fn(p):
+                h = propagate(p, cfg, ann, es, ed, et, em,
+                              scatter_layout=lay)
+                return jnp.sum(h * h)
+            loss, grads = jax.value_and_grad(loss_fn)(prop)
+            updates, opt_state = optimizer.update(grads, opt_state, prop)
+            prop = optax.apply_updates(prop, updates)
+            return (prop, opt_state), loss
+        (prop, opt_state), losses = jax.lax.scan(
+            body, (prop, opt_state), None, length=k)
+        return losses[-1]
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def vg_chain(h, lay, k):
         def body(i, carry):
             h, tot = carry
 
@@ -107,6 +132,18 @@ def main():
             l, g = jax.value_and_grad(loss)(h)
             h = h + 1e-30 * g
             return h, tot + l
+        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fwd_chain(h, lay, k):
+        def body(i, carry):
+            h, tot = carry
+            a = wp.aggregate_window(h.astype(jnp.bfloat16), lay, msg_w,
+                                    msg_b, interpret=False)
+            s = jnp.sum(a[0, :1])
+            h = h + 1e-30 * s
+            return h, tot + s
         _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
         return tot
 
@@ -127,6 +164,17 @@ def main():
         return tot
 
     @functools.partial(jax.jit, static_argnames=("k",))
+    def gather_chain(da, arrs, k):
+        def body(i, carry):
+            da, tot = carry
+            G = da[arrs["s_bwd_dst"]]
+            s = G[0, 0].astype(jnp.float32) + jnp.sum(G[-1, :1])
+            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
+            return da, tot + s
+        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
     def sb_chain(da, arrs, k):
         def body(i, carry):
             da, tot = carry
@@ -140,18 +188,32 @@ def main():
         return tot
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def sbc_chain(da, arrs, k):
+    def sbi_chain(da, Y0, arrs, k):
         def body(i, carry):
-            da, tot = carry
+            da, Y, tot = carry
             G = da[arrs["s_bwd_dst"]]
-            Yc = jax.ops.segment_sum(G, seg_of_edge, num_segments=U,
-                                     indices_are_sorted=True)
-            Y = jnp.zeros((R, D), Yc.dtype).at[uniq_rows_j].set(
-                Yc, unique_indices=True, indices_are_sorted=True)
+            Y = Y.at[arrs["s_bwd_ids"]].add(G, indices_are_sorted=True)
             s = Y[0, 0].astype(jnp.float32)
             da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
-            return da, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return da, Y, tot + s
+        _, _, tot = jax.lax.fori_loop(0, k, body, (da, Y0, jnp.float32(0)))
+        return tot
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def ein_chain(h, Y0, k):
+        def body(i, carry):
+            Y, tot = carry
+            Yb = Y.reshape(N // 128, T2, 128, D)
+            dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
+                            preferred_element_type=jnp.float32)
+            dW = jnp.einsum("bsd,btsf->tdf",
+                            h.astype(jnp.bfloat16).reshape(N // 128, 128, D),
+                            Yb, preferred_element_type=jnp.float32)
+            db = jnp.sum(Yb, axis=(0, 2))
+            s = dh[0, 0, 0] + dW[0, 0, 0] + db[0, 0]
+            Y = Y.at[0, 0].set(Y[0, 0] + (1e-30 * s).astype(Y.dtype))
+            return Y, tot + s
+        _, tot = jax.lax.fori_loop(0, k, body, (Y0, jnp.float32(0)))
         return tot
 
     fused = fuse_gru(prop["gru"])
@@ -171,10 +233,18 @@ def main():
         _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
         return tot
 
-    diff_chain("vg full agg", vg_chain, h0, arrs)
+    Y0 = jnp.zeros((R, D), jnp.bfloat16)
+    per_step = diff_chain("train step", step_chain, prop, opt_state0, lay)
+    if per_step is not None:
+        print(f"  per propagation step: {per_step / cfg.n_steps * 1e3:.2f} "
+              f"ms", flush=True)
+    diff_chain("vg full agg", vg_chain, h0, lay)
+    diff_chain("fwd agg", fwd_chain, h0, lay)
     diff_chain("ykernel", yk_chain, da0, arrs)
+    diff_chain("gather only", gather_chain, da0, arrs)
     diff_chain("spillbwd 4.2M-seg", sb_chain, da0, arrs)
-    diff_chain("spillbwd compact", sbc_chain, da0, arrs)
+    diff_chain("spillbwd inplace", sbi_chain, da0, Y0, arrs)
+    diff_chain("bwd einsums", ein_chain, h0, Y0)
     diff_chain("gru fwd+bwd", gb_chain, h0, a0)
 
 

@@ -278,12 +278,13 @@ def test_window_kernel_variants_agree(rng):
         (R + (-R) % W, D)).astype(np.float32))
     ref = np.asarray(window_block_spmm(
         table, a["c_stream"], a["tile_start"], a["block_of_tile"],
-        a["win_of_tile"], n_blocks=lay.n_blocks, window=W, interpret=True))
+        a["win_of_tile"], n_blocks=lay.n_blocks, window=W,
+        c_off=a["c_off"], interpret=True))
     for n_progs, nbuf in ((1, 4), (2, 2), (lay.n_blocks, 3)):
         got = window_block_spmm_mono(
             table, a["c_stream"], a["tile_start"], a["block_of_tile"],
             a["win_of_tile"], n_blocks=lay.n_blocks, window=W,
-            n_progs=n_progs, nbuf=nbuf, interpret=True)
+            n_progs=n_progs, nbuf=nbuf, c_off=a["c_off"], interpret=True)
         np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6,
                                    atol=1e-6, err_msg=f"{n_progs},{nbuf}")
 
