@@ -644,7 +644,7 @@ def onehot_segment_scatter_loopT(messages, onehot_t, tile_start,
 def onehot_segment_scatter_mono(messages, onehot_t, tile_start, block_of_tile,
                                 n_blocks: int, tile_e: int = 2048,
                                 n_progs: int = 1, nbuf: int = 4,
-                                interpret: bool = False):
+                                out_dtype=None, interpret: bool = False):
     """Monolithic-streaming variant of :func:`onehot_segment_scatter_flat`:
     a thin wrapper over the generalized windowed mono kernel
     (:func:`ggnn_tpu.ops.window_pallas.window_block_spmm_mono`) with each
@@ -660,7 +660,7 @@ def onehot_segment_scatter_mono(messages, onehot_t, tile_start, block_of_tile,
     return window_block_spmm_mono(
         messages, onehot_t, tile_start, block_of_tile, win_of_tile,
         n_blocks=n_blocks, window=tile_e, n_progs=n_progs, nbuf=nbuf,
-        interpret=interpret)
+        out_dtype=out_dtype, interpret=interpret)
 
 
 def layout_for_batch(batch, tile_e: int = 128, with_grad: bool = True
@@ -809,7 +809,8 @@ def _aggregate_fwd(meta, interpret, arrs, h, msg_w, msg_b):
     return out, (arrs, h, msg_w)
 
 
-def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
+def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
+                           out_dtype=None):
     """Y.flat[row(u,t)] = Σ_{(u,t,v)} da[v] — via the grad one-hot layout
     when present, else XLA segment_sum.  Returns [T2·N, D] flat in the
     layout's table-row order."""
@@ -818,10 +819,14 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D):
         g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta
         G = da[arrs["g_gather_idx"]].astype(da.dtype)
         if g_has_onehot:
-            Y_flat = onehot_segment_scatter_flat(
+            # mono kernel: f32 VMEM accumulation, flushed in the compute
+            # dtype — Y is a [T2·N, D] intermediate whose three einsum
+            # consumers accumulate in f32 anyway, so a bf16 flush halves
+            # its write + every downstream read
+            Y_flat = onehot_segment_scatter_mono(
                 G, arrs["g_onehot"], arrs["g_tile_start"],
                 arrs["g_block_of_tile"], n_blocks=g_blocks,
-                tile_e=g_tile_e, interpret=interpret)
+                tile_e=g_tile_e, out_dtype=out_dtype, interpret=interpret)
         else:
             Y_flat = onehot_segment_scatter(
                 G, arrs["g_dst_local"], arrs["g_tile_start"],
@@ -838,7 +843,8 @@ def _aggregate_bwd(meta, interpret, res, da):
     T2, D = msg_w.shape[0], msg_w.shape[-1]
     N = h.shape[0]
     row_order = meta[7] if len(meta) > 7 else "type"
-    Y_flat = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D)
+    Y_flat = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
+                                    out_dtype=h.dtype)
     if row_order == "block":
         Yb = Y_flat.reshape(N // 128, T2, 128, D)
         dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,

@@ -357,33 +357,59 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                       gt_block_of_tile=jnp.asarray(gt_block),
                       gt_win_of_tile=jnp.asarray(gt_win),
                       gt_c_off=jnp.asarray(gt_c_off))
+        spill_bwd_offsets = None
         if spill is not None:
-            # spill backward: REAL edges only (no packed padding), sorted
-            # by gather row so the XLA scatter takes the sorted fast path
-            # (unsorted into 4.2M segments measured 84 ns/row — 44 ms of
-            # an 81 ms backward).  Segment ids are COMPACT (one segment
-            # per touched row, typically ≪ T2·N): the backward then
-            # segment-sums into [U, D] and scatter-adds those U rows into
-            # Y, instead of materializing a second full [T2·N, D] buffer
+            # spill backward: REAL edges only, NEVER routed through the
+            # [T2·N, D] Y buffer — a 380K-row scatter-add into a 4.2M-row
+            # operand measured ~12 ms (the scatter pays for the operand,
+            # not the update rows).  Instead: sort spilled edges
+            # TYPE-major, segment-sum da into per-(type, src) unique rows
+            # (compact, padded per-type buckets with STATIC offsets), and
+            # let the backward compute the spill's dh/dW/db contributions
+            # with one small per-type matmul pair + one scatter into the
+            # 16×-smaller dh
             sp_rows = rows[~keep]
             sp_dst = dst[~keep]
-            order = np.argsort(sp_rows, kind="stable")
-            sr = sp_rows[order]
-            newrow = np.empty(sr.shape[0], bool)
+            if row_major == "block":
+                rows_per_blk = t2 * 128
+                sp_t = (sp_rows % rows_per_blk) // 128
+                sp_u = (sp_rows // rows_per_blk) * 128 + sp_rows % 128
+            elif row_major == "src":
+                sp_t = sp_rows % t2
+                sp_u = sp_rows // t2
+            else:
+                sp_t = sp_rows // n_src_rows
+                sp_u = sp_rows % n_src_rows
+            tm_key = sp_t * np.int64(n_src_rows) + sp_u
+            order = np.argsort(tm_key, kind="stable")
+            km = tm_key[order]
+            newrow = np.empty(km.shape[0], bool)
             newrow[:1] = True
-            np.not_equal(sr[1:], sr[:-1], out=newrow[1:])
-            u_rows = sr[newrow]
-            n_u = u_rows.shape[0]
-            u_pad = -(-max(n_u, 1) // 8) * 8
-            # padding segments receive no edges (stay zero); their target
-            # row R = T2·N is out of bounds, which jax scatter-add DROPS
-            rows_pad = np.full(u_pad, t2 * n_src_rows, np.int64)
-            rows_pad[:n_u] = u_rows
+            np.not_equal(km[1:], km[:-1], out=newrow[1:])
+            uk = km[newrow]                      # unique (t, u), type-major
+            ut = (uk // n_src_rows).astype(np.int64)
+            uu = (uk % n_src_rows).astype(np.int64)
+            # per-type padded buckets: static offsets so the backward can
+            # slice each type with a compile-time shape
+            cnt = np.bincount(ut, minlength=t2)
+            padded = np.maximum(-(-cnt // 8) * 8, 8)
+            offs = np.zeros(t2 + 1, np.int64)
+            np.cumsum(padded, out=offs[1:])
+            u_tot = int(offs[-1])
+            # slot of each unique row inside its padded bucket
+            first_of_t = np.zeros(t2, np.int64)
+            first_of_t[1:] = np.cumsum(cnt)[:-1]
+            slot = offs[ut] + (np.arange(uk.shape[0]) - first_of_t[ut])
+            # padding slots: src sentinel n_src_rows → the dh scatter-add
+            # drops them (out of bounds); their Ysp rows stay zero
+            src_pad = np.full(u_tot, n_src_rows, np.int64)
+            src_pad[slot] = uu
+            seg_of_edge = slot[np.cumsum(newrow) - 1]
             arrays["s_bwd_dst"] = jnp.asarray(sp_dst[order].astype(np.int32))
-            arrays["s_bwd_seg"] = jnp.asarray(
-                (np.cumsum(newrow) - 1).astype(np.int32))
-            arrays["s_bwd_rows"] = jnp.asarray(rows_pad.astype(np.int32))
-        grad_meta = (n_wins, int(n_gt))
+            arrays["s_bwd_seg"] = jnp.asarray(seg_of_edge.astype(np.int32))
+            arrays["s_bwd_src"] = jnp.asarray(src_pad.astype(np.int32))
+            spill_bwd_offsets = tuple(int(o) for o in offs)
+        grad_meta = (n_wins, int(n_gt), spill_bwd_offsets)
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
               grad_meta, block_rows, (pack_fwd, pack_bwd)),
@@ -391,9 +417,9 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
         "spill_frac": spill_frac, "window": window,
-        "stream_gb": n_tiles * block_rows * window / (2e9 if pack_fwd
-                                                      else 1e9),
-        "table_reads_gb": n_tiles * window * 2 * 1e-9,  # ×D at use time
+        # real (DMA'd) tiles only — dummies stream nothing
+        "stream_gb": int(c.shape[0]) * c.shape[1] * 1e-9,
+        "table_reads_gb": n_real * window * 2 * 1e-9,  # ×D at use time
         "spill_pack": (int(spill.gather_idx.shape[0])
                        if spill is not None else 0),
     }
@@ -1227,7 +1253,7 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     if grad_meta is None:
         raise ValueError("aggregate_window backward needs a layout built "
                          "with_grad=True")
-    n_wins, _ = grad_meta
+    n_wins, _, sp_offs = grad_meta
     N, D = h.shape
     T2 = msg_w.shape[0]
     R = T2 * N
@@ -1243,45 +1269,64 @@ def _aggregate_window_bwd(meta, interpret, res, da):
         window=block_rows, out_rows=W, packed=pack_bwd,
         c_off=arrs.get("gt_c_off"), out_dtype=h.dtype,
         interpret=interpret)[:R]
+    dh_sp = dW_sp = db_sp = None
     if spill_meta is not None:
-        # real spill edges only, pre-sorted by gather row: segment-sum
-        # into the COMPACT touched-row space [U, D], then one sorted
-        # unique-index scatter-add into Y (padding rows target R → jax
-        # drops out-of-bounds scatter updates).  The gather engine is
-        # row-rate-bound, not byte-bound, so gathering f32 da costs the
-        # same as bf16 — keep f32 accumulation, cast once at the scatter
-        G = da[arrs["s_bwd_dst"]]
-        u_pad = arrs["s_bwd_rows"].shape[0]
-        Ysp = jax.ops.segment_sum(G, arrs["s_bwd_seg"], num_segments=u_pad,
-                                  indices_are_sorted=True)
-        Y = Y.at[arrs["s_bwd_rows"]].add(Ysp.astype(Y.dtype),
-                                         indices_are_sorted=True,
-                                         unique_indices=True)
+        # spill backward WITHOUT touching Y (a sparse scatter-add into the
+        # [T2·N, D] operand measured ~12 ms — the scatter pays for the
+        # operand size, not the 380K update rows): segment-sum da into
+        # compact type-major (t, u) buckets with static per-type offsets,
+        # then per-type matmuls give the spill's dh/dW/db directly
+        G = da[arrs["s_bwd_dst"]]       # row-rate-bound: f32 costs as bf16
+        u_tot = arrs["s_bwd_src"].shape[0]
+        Ysp = jax.ops.segment_sum(G, arrs["s_bwd_seg"], num_segments=u_tot,
+                                  indices_are_sorted=True).astype(h.dtype)
+        # h rows of the unique spilled sources (padding slots clamp to row
+        # 0 — their Ysp rows are zero, so they contribute nothing)
+        Hsp = h[jnp.minimum(arrs["s_bwd_src"], N - 1)]
+        dh_rows, dw_rows, db_rows = [], [], []
+        for t in range(T2):
+            o0, o1 = sp_offs[t], sp_offs[t + 1]
+            ysl = Ysp[o0:o1]
+            dh_rows.append(jnp.dot(ysl, msg_w[t].T,
+                                   preferred_element_type=jnp.float32))
+            dw_rows.append(jnp.dot(Hsp[o0:o1].T, ysl,
+                                   preferred_element_type=jnp.float32))
+            db_rows.append(jnp.sum(ysl, axis=0, dtype=jnp.float32))
+        dW_sp = jnp.stack(dw_rows)
+        db_sp = jnp.stack(db_rows)
+        # one scatter into the [N, D] dh (16× smaller operand than Y);
+        # padding slots target row N → dropped as out-of-bounds
+        dh_sp = jnp.zeros((N, D), jnp.float32).at[arrs["s_bwd_src"]].add(
+            jnp.concatenate(dh_rows, axis=0))
     if row_major == "block":
         Yb = Y.reshape(N // 128, T2, 128, D)
         dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
-                        preferred_element_type=jnp.float32) \
-            .reshape(N, D).astype(h.dtype)
+                        preferred_element_type=jnp.float32).reshape(N, D)
         dW = jnp.einsum("bsd,btsf->tdf", h.reshape(N // 128, 128, D), Yb,
-                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
-        db = jnp.sum(Yb, axis=(0, 2)).astype(msg_w.dtype)
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(Yb, axis=(0, 2), dtype=jnp.float32)
     elif row_major == "src":
         Yr = Y.reshape(N, T2, D)
         dh = jnp.einsum("ntf,tdf->nd", Yr, msg_w,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
+                        preferred_element_type=jnp.float32)
         dW = jnp.einsum("nd,ntf->tdf", h, Yr,
-                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
-        db = jnp.sum(Yr, axis=0).astype(msg_w.dtype)
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(Yr, axis=0, dtype=jnp.float32)
     else:
         Yr = Y.reshape(T2, N, D)
         dh = jnp.einsum("tnf,tdf->nd", Yr, msg_w,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
+                        preferred_element_type=jnp.float32)
         dW = jnp.einsum("nd,tnf->tdf", h, Yr,
-                        preferred_element_type=jnp.float32).astype(msg_w.dtype)
-        db = jnp.sum(Yr, axis=1).astype(msg_w.dtype)
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(Yr, axis=1, dtype=jnp.float32)
+    if dh_sp is not None:
+        dh = dh + dh_sp
+        dW = dW + dW_sp
+        db = db + db_sp
     d_arrs = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
-    return d_arrs, dh, dW, db
+    return (d_arrs, dh.astype(h.dtype), dW.astype(msg_w.dtype),
+            db.astype(msg_w.dtype))
 
 
 _aggregate_window.defvjp(_aggregate_window_fwd, _aggregate_window_bwd)

@@ -1,18 +1,17 @@
 #!/usr/bin/env python
 """Training-backward decomposition (community config, with_grad layout).
-One optimizer step measures ~363 ms (5 propagation steps) — fwd is
-~10 ms/step, so the backward is ~60 ms/step.  Candidate pieces:
+
+Chains (pass names as argv to select; default all — run one per process
+to isolate OOM):
 
   step     — one full train step (fwd+bwd+Adam) via the model path
-  vg       — value_and_grad of sum(a^2) on ONE aggregation (ref ~41 ms)
+  vg       — value_and_grad of sum(a^2) on ONE aggregation
   fwdagg   — the same aggregation forward-only
-  ykernel  — transposed window kernel Y = C^T · da alone
+  ykernel  — transposed window kernel Y = C^T · da alone (compact stream)
   gather   — da row-gather for the spilled edges alone
-  spillbwd — da row-gather + segment_sum into T2·N (4.2M) segments + add
-             (the production spill backward as written today)
-  spillbwd_inplace — da row-gather + Y.at[ids].add(G) on a loop-carried Y
-             (fused scatter, no zeros(R,D) materialization)
-  einsums  — dh/dW/db block-major einsums from a fixed Y
+  spillbwd — the production compact spill backward: da row-gather +
+             segment_sum into [U, D] + sorted unique scatter-add into Y
+  einsums  — dh/dW/db block-major einsums from a fixed bf16 Y
   grubwd   — jax.grad through gru_update alone
 
 All layouts flow through jit ARGUMENTS (DeviceWindowLayout is a
@@ -71,6 +70,8 @@ def diff_chain(tag, chain, *args):
 
 
 def main():
+    which = set(sys.argv[1:]) or {"step", "vg", "fwdagg", "ykernel",
+                                  "gather", "spillbwd", "einsums", "grubwd"}
     batch = synthetic_batch(262_144, 4_000_000, T, annotation_dim=8, seed=0,
                             node_mult=128, n_communities=512, p_intra=0.95)
     N = batch.spec.n_pad
@@ -89,163 +90,193 @@ def main():
         N, window=W, n_message_types=T2,
         block_rows=BR, with_grad=True, row_major="block")
     arrs = lay.arrays
-    n_wins, n_gt = lay.grad_meta
-    E_s = int(arrs["s_bwd_ids"].shape[0])
+    n_wins, n_gt = lay.grad_meta[:2]
+    E_s = int(arrs["s_bwd_dst"].shape[0])
+    U = int(arrs["s_bwd_src"].shape[0])
+    sp_offs = lay.grad_meta[2]
     print(f"layout stats: {lay.stats}", flush=True)
-    print(f"spilled real edges: {E_s}  grad tiles: {n_gt}", flush=True)
+    print(f"spilled real edges: {E_s}  unique (t,u) rows: {U}  "
+          f"grad tiles: {n_gt}  bwd stream tiles: "
+          f"{arrs['ct_stream'].shape[0] // W}", flush=True)
 
-    # ---- full train step reference (the bench.py train body) ----
-    import optax
-    optimizer = optax.adam(1e-3)
-    opt_state0 = optimizer.init(prop)
-    ann = jnp.asarray(batch.annotations)
-    es, ed = jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_dst)
-    et, em = jnp.asarray(batch.edge_type), jnp.asarray(batch.edge_mask)
+    if "step" in which:
+        import optax
+        optimizer = optax.adam(1e-3)
+        opt_state0 = optimizer.init(prop)
+        ann = jnp.asarray(batch.annotations)
+        es, ed = jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_dst)
+        et, em = jnp.asarray(batch.edge_type), jnp.asarray(batch.edge_mask)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def step_chain(prop, opt_state, lay, k):
-        def body(carry, _):
-            prop, opt_state = carry
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def step_chain(prop, opt_state, lay, k):
+            def body(carry, _):
+                prop, opt_state = carry
 
-            def loss_fn(p):
-                h = propagate(p, cfg, ann, es, ed, et, em,
-                              scatter_layout=lay)
-                return jnp.sum(h * h)
-            loss, grads = jax.value_and_grad(loss_fn)(prop)
-            updates, opt_state = optimizer.update(grads, opt_state, prop)
-            prop = optax.apply_updates(prop, updates)
-            return (prop, opt_state), loss
-        (prop, opt_state), losses = jax.lax.scan(
-            body, (prop, opt_state), None, length=k)
-        return losses[-1]
+                def loss_fn(p):
+                    h = propagate(p, cfg, ann, es, ed, et, em,
+                                  scatter_layout=lay)
+                    return jnp.sum(h * h)
+                loss, grads = jax.value_and_grad(loss_fn)(prop)
+                updates, opt_state = optimizer.update(grads, opt_state, prop)
+                prop = optax.apply_updates(prop, updates)
+                return (prop, opt_state), loss
+            (prop, opt_state), losses = jax.lax.scan(
+                body, (prop, opt_state), None, length=k)
+            return losses[-1]
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def vg_chain(h, lay, k):
-        def body(i, carry):
-            h, tot = carry
+        per_step = diff_chain("train step", step_chain, prop, opt_state0,
+                              lay)
+        if per_step is not None:
+            print(f"  per propagation step: "
+                  f"{per_step / cfg.n_steps * 1e3:.2f} ms", flush=True)
 
-            def loss(hh):
-                a = wp.aggregate_window(hh.astype(jnp.bfloat16), lay, msg_w,
+    if "vg" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def vg_chain(h, lay, k):
+            def body(i, carry):
+                h, tot = carry
+
+                def loss(hh):
+                    a = wp.aggregate_window(hh.astype(jnp.bfloat16), lay,
+                                            msg_w, msg_b, interpret=False)
+                    return jnp.sum(a * a)
+
+                l, g = jax.value_and_grad(loss)(h)
+                h = h + 1e-30 * g
+                return h, tot + l
+            _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+            return tot
+
+        diff_chain("vg full agg", vg_chain, h0, lay)
+
+    if "fwdagg" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def fwd_chain(h, lay, k):
+            def body(i, carry):
+                h, tot = carry
+                a = wp.aggregate_window(h.astype(jnp.bfloat16), lay, msg_w,
                                         msg_b, interpret=False)
-                return jnp.sum(a * a)
+                s = jnp.sum(a[0, :1])
+                h = h + 1e-30 * s
+                return h, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+            return tot
 
-            l, g = jax.value_and_grad(loss)(h)
-            h = h + 1e-30 * g
-            return h, tot + l
-        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
-        return tot
+        diff_chain("fwd agg", fwd_chain, h0, lay)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def fwd_chain(h, lay, k):
-        def body(i, carry):
-            h, tot = carry
-            a = wp.aggregate_window(h.astype(jnp.bfloat16), lay, msg_w,
-                                    msg_b, interpret=False)
-            s = jnp.sum(a[0, :1])
-            h = h + 1e-30 * s
-            return h, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
-        return tot
+    if "ykernel" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def yk_chain(da, arrs, k):
+            da_pad = da.astype(jnp.bfloat16)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def yk_chain(da, arrs, k):
-        da_pad = da.astype(jnp.bfloat16)
+            def body(i, carry):
+                da, tot = carry
+                Y = wp.window_block_spmm_mono(
+                    da, arrs["ct_stream"], arrs["gt_tile_start"],
+                    arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+                    n_blocks=n_wins, window=BR, out_rows=W,
+                    c_off=arrs["gt_c_off"], out_dtype=jnp.bfloat16)
+                s = Y[0, 0].astype(jnp.float32)
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da_pad, jnp.float32(0)))
+            return tot
 
-        def body(i, carry):
-            da, tot = carry
-            Y = wp.window_block_spmm_mono(
-                da, arrs["ct_stream"], arrs["gt_tile_start"],
-                arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
-                n_blocks=n_wins, window=BR, out_rows=W)
-            s = Y[0, 0]
-            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
-            return da, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (da_pad, jnp.float32(0)))
-        return tot
+        diff_chain("ykernel", yk_chain, da0, arrs)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def gather_chain(da, arrs, k):
-        def body(i, carry):
-            da, tot = carry
-            G = da[arrs["s_bwd_dst"]]
-            s = G[0, 0].astype(jnp.float32) + jnp.sum(G[-1, :1])
-            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
-            return da, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
-        return tot
+    if "gather" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def gather_chain(da, arrs, k):
+            def body(i, carry):
+                da, tot = carry
+                G = da[arrs["s_bwd_dst"]]
+                s = G[0, 0].astype(jnp.float32) + jnp.sum(G[-1, :1])
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return tot
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def sb_chain(da, arrs, k):
-        def body(i, carry):
-            da, tot = carry
-            G = da[arrs["s_bwd_dst"]]
-            Y = jax.ops.segment_sum(G, arrs["s_bwd_ids"], num_segments=R,
-                                    indices_are_sorted=True)
-            s = Y[0, 0].astype(jnp.float32)
-            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
-            return da, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
-        return tot
+        diff_chain("gather only", gather_chain, da0, arrs)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def sbi_chain(da, Y0, arrs, k):
-        def body(i, carry):
-            da, Y, tot = carry
-            G = da[arrs["s_bwd_dst"]]
-            Y = Y.at[arrs["s_bwd_ids"]].add(G, indices_are_sorted=True)
-            s = Y[0, 0].astype(jnp.float32)
-            da = da.at[0, 0].set(da[0, 0] + (1e-30 * s).astype(da.dtype))
-            return da, Y, tot + s
-        _, _, tot = jax.lax.fori_loop(0, k, body, (da, Y0, jnp.float32(0)))
-        return tot
+    if "spillbwd" in which:
+        hb = h0.astype(jnp.bfloat16)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def ein_chain(h, Y0, k):
-        def body(i, carry):
-            Y, tot = carry
-            Yb = Y.reshape(N // 128, T2, 128, D)
-            dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
-                            preferred_element_type=jnp.float32)
-            dW = jnp.einsum("bsd,btsf->tdf",
-                            h.astype(jnp.bfloat16).reshape(N // 128, 128, D),
-                            Yb, preferred_element_type=jnp.float32)
-            db = jnp.sum(Yb, axis=(0, 2))
-            s = dh[0, 0, 0] + dW[0, 0, 0] + db[0, 0]
-            Y = Y.at[0, 0].set(Y[0, 0] + (1e-30 * s).astype(Y.dtype))
-            return Y, tot + s
-        _, tot = jax.lax.fori_loop(0, k, body, (Y0, jnp.float32(0)))
-        return tot
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def sb_chain(da, hb, arrs, k):
+            def body(i, carry):
+                da, tot = carry
+                G = da.astype(jnp.float32)[arrs["s_bwd_dst"]]
+                Ysp = jax.ops.segment_sum(
+                    G, arrs["s_bwd_seg"], num_segments=U,
+                    indices_are_sorted=True).astype(jnp.bfloat16)
+                Hsp = hb[jnp.minimum(arrs["s_bwd_src"], N - 1)]
+                dh_rows = []
+                dw = []
+                for t in range(T2):
+                    o0, o1 = sp_offs[t], sp_offs[t + 1]
+                    ysl = Ysp[o0:o1]
+                    dh_rows.append(jnp.dot(
+                        ysl, msg_w[t].T,
+                        preferred_element_type=jnp.float32))
+                    dw.append(jnp.dot(Hsp[o0:o1].T, ysl,
+                                      preferred_element_type=jnp.float32))
+                dh_sp = jnp.zeros((N, D), jnp.float32).at[
+                    arrs["s_bwd_src"]].add(jnp.concatenate(dh_rows))
+                s = dh_sp[0, 0] + jnp.stack(dw)[0, 0, 0]
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return tot
 
-    fused = fuse_gru(prop["gru"])
-    a0 = jax.random.normal(jax.random.PRNGKey(4), (N, D), dtype=jnp.float32)
+        diff_chain("spillbwd typed", sb_chain, da0, hb, arrs)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def gb_chain(h, a, k):
-        def body(i, carry):
-            h, tot = carry
+    if "einsums" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def ein_chain(h, Y0, k):
+            def body(i, carry):
+                Y, tot = carry
+                Yb = Y.reshape(N // 128, T2, 128, D)
+                dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
+                                preferred_element_type=jnp.float32)
+                dW = jnp.einsum(
+                    "bsd,btsf->tdf",
+                    h.astype(jnp.bfloat16).reshape(N // 128, 128, D),
+                    Yb, preferred_element_type=jnp.float32)
+                db = jnp.sum(Yb, axis=(0, 2))
+                s = dh[0, 0, 0] + dW[0, 0, 0] + db[0, 0]
+                Y = Y.at[0, 0].set(Y[0, 0] + (1e-30 * s).astype(Y.dtype))
+                return Y, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (Y0, jnp.float32(0)))
+            return tot
 
-            def loss(hh, aa):
-                return jnp.sum(gru_update(prop["gru"], hh, aa, fused) ** 2)
+        Y0 = jnp.zeros((R, D), jnp.bfloat16)
+        diff_chain("bwd einsums", ein_chain, h0, Y0)
+        del Y0
 
-            l, (gh, ga) = jax.value_and_grad(loss, argnums=(0, 1))(h, a)
-            h = h + 1e-30 * gh
-            return h, tot + l
-        _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
-        return tot
+    if "grubwd" in which:
+        fused = fuse_gru(prop["gru"])
+        a0 = jax.random.normal(jax.random.PRNGKey(4), (N, D),
+                               dtype=jnp.float32)
 
-    Y0 = jnp.zeros((R, D), jnp.bfloat16)
-    per_step = diff_chain("train step", step_chain, prop, opt_state0, lay)
-    if per_step is not None:
-        print(f"  per propagation step: {per_step / cfg.n_steps * 1e3:.2f} "
-              f"ms", flush=True)
-    diff_chain("vg full agg", vg_chain, h0, lay)
-    diff_chain("fwd agg", fwd_chain, h0, lay)
-    diff_chain("ykernel", yk_chain, da0, arrs)
-    diff_chain("gather only", gather_chain, da0, arrs)
-    diff_chain("spillbwd 4.2M-seg", sb_chain, da0, arrs)
-    diff_chain("spillbwd inplace", sbi_chain, da0, Y0, arrs)
-    diff_chain("bwd einsums", ein_chain, h0, Y0)
-    diff_chain("gru fwd+bwd", gb_chain, h0, a0)
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def gb_chain(h, a, k):
+            def body(i, carry):
+                h, tot = carry
+
+                def loss(hh, aa):
+                    return jnp.sum(gru_update(prop["gru"], hh, aa,
+                                              fused) ** 2)
+
+                l, (gh, ga) = jax.value_and_grad(loss, argnums=(0, 1))(h, a)
+                h = h + 1e-30 * gh
+                return h, tot + l
+            _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+            return tot
+
+        diff_chain("gru fwd+bwd", gb_chain, h0, a0)
 
 
 if __name__ == "__main__":
