@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -357,17 +358,25 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                       gt_block_of_tile=jnp.asarray(gt_block),
                       gt_win_of_tile=jnp.asarray(gt_win),
                       gt_c_off=jnp.asarray(gt_c_off))
+        # per-(type, dst) ALL-real-edge counts for the bias gradient:
+        # db[t] = Σ_v cnt_t(v)·ā_v — one [T2, N]·[N, D] matmul replaces
+        # both the row-sum over Y and the spill's masked reduction
+        # (f32: hub in-degrees exceed bf16's exact-integer range)
+        indeg = np.bincount(typ * np.int64(n_nodes_pad) + dst,
+                            minlength=t2 * n_nodes_pad)
+        arrays["gt_indeg"] = jnp.asarray(
+            indeg.reshape(t2, n_nodes_pad).astype(np.float32))
         spill_bwd_offsets = None
+        spill_bwd_meta = None
         if spill is not None:
             # spill backward: REAL edges only, NEVER routed through the
-            # [T2·N, D] Y buffer — a 380K-row scatter-add into a 4.2M-row
-            # operand measured ~12 ms (the scatter pays for the operand,
-            # not the update rows).  Instead: sort spilled edges
-            # TYPE-major, segment-sum da into per-(type, src) unique rows
-            # (compact, padded per-type buckets with STATIC offsets), and
-            # let the backward compute the spill's dh/dW/db contributions
-            # with one small per-type matmul pair + one scatter into the
-            # 16×-smaller dh
+            # [T2·N, D] Y buffer, and with NO row-serialized XLA scatter:
+            # segment_sum and .at[].add are row-op-rate-bound (~5 ms each
+            # for ~400K rows — they were 10 of the 12 ms spill backward).
+            # Instead: per-EDGE contributions in type-major static buckets
+            # feed batched einsums (dW and the per-edge dh rows), the dh
+            # scatter rides the one-hot MXU kernel (same as the forward
+            # spill), and db comes entirely from gt_indeg above.
             sp_rows = rows[~keep]
             sp_dst = dst[~keep]
             if row_major == "block":
@@ -380,36 +389,53 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             else:
                 sp_t = sp_rows // n_src_rows
                 sp_u = sp_rows % n_src_rows
-            tm_key = sp_t * np.int64(n_src_rows) + sp_u
-            order = np.argsort(tm_key, kind="stable")
-            km = tm_key[order]
-            newrow = np.empty(km.shape[0], bool)
-            newrow[:1] = True
-            np.not_equal(km[1:], km[:-1], out=newrow[1:])
-            uk = km[newrow]                      # unique (t, u), type-major
-            ut = (uk // n_src_rows).astype(np.int64)
-            uu = (uk % n_src_rows).astype(np.int64)
-            # per-type padded buckets: static offsets so the backward can
-            # slice each type with a compile-time shape
-            cnt = np.bincount(ut, minlength=t2)
+            order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
+                               kind="stable")            # type-major
+            sp_t, sp_u, sp_dst = sp_t[order], sp_u[order], sp_dst[order]
+            n_sp = sp_t.shape[0]
+            # per-type padded buckets with STATIC offsets; UNIFORM bucket
+            # size when the type distribution allows it (the backward then
+            # reshapes [T2, P, D] and runs two batched einsums)
+            cnt = np.bincount(sp_t, minlength=t2)
             padded = np.maximum(-(-cnt // 8) * 8, 8)
+            pmax = int(padded.max())
+            if t2 * pmax <= max(2 * int(padded.sum()), 4096):
+                padded = np.full(t2, pmax, np.int64)
             offs = np.zeros(t2 + 1, np.int64)
             np.cumsum(padded, out=offs[1:])
-            u_tot = int(offs[-1])
-            # slot of each unique row inside its padded bucket
+            tot = int(offs[-1])
             first_of_t = np.zeros(t2, np.int64)
             first_of_t[1:] = np.cumsum(cnt)[:-1]
-            slot = offs[ut] + (np.arange(uk.shape[0]) - first_of_t[ut])
-            # padding slots: src sentinel n_src_rows → the dh scatter-add
-            # drops them (out of bounds); their Ysp rows stay zero
-            src_pad = np.full(u_tot, n_src_rows, np.int64)
-            src_pad[slot] = uu
-            seg_of_edge = slot[np.cumsum(newrow) - 1]
-            arrays["s_bwd_dst"] = jnp.asarray(sp_dst[order].astype(np.int32))
-            arrays["s_bwd_seg"] = jnp.asarray(seg_of_edge.astype(np.int32))
-            arrays["s_bwd_src"] = jnp.asarray(src_pad.astype(np.int32))
+            slot = offs[sp_t] + (np.arange(n_sp) - first_of_t[sp_t])
+            e_dst = np.zeros(tot, np.int64)   # padding → row 0 (its h row
+            e_src = np.full(tot, n_src_rows, np.int64)  # is masked to 0)
+            e_dst[slot] = sp_dst
+            e_src[slot] = sp_u
+            arrays["s_bwd_dst"] = jnp.asarray(e_dst.astype(np.int32))
+            arrays["s_bwd_src"] = jnp.asarray(e_src.astype(np.int32))
             spill_bwd_offsets = tuple(int(o) for o in offs)
-        grad_meta = (n_wins, int(n_gt), spill_bwd_offsets)
+            if n_src_rows % BLOCK_N == 0:
+                # one-hot MXU layout scattering the per-edge dh rows into
+                # dh[u]: "edges" are the bucket slots, "dst" the source
+                # node; padding slots carry mask 0 and vanish from the pack
+                ublk = np.bincount((sp_u // BLOCK_N).astype(np.int64),
+                                   minlength=n_src_rows // BLOCK_N)
+                med = int(np.median(ublk)) if n_sp else 0
+                sb_tile = 128
+                while sb_tile < min(med, 2048):
+                    sb_tile *= 2
+                mask = np.zeros(tot, np.float32)
+                mask[slot] = 1.0
+                sb = build_dst_block_layout(
+                    np.arange(tot, dtype=np.int64), e_src,
+                    np.zeros(tot, np.int64), mask, n_src_rows,
+                    tile_e=sb_tile, n_src_rows=tot,
+                    edge_align=(16 if sb_tile % 16 == 0 else None))
+                sb_dev = sb.to_device()
+                for k, v in sb_dev.arrays.items():
+                    arrays["sb_" + k] = v
+                spill_bwd_meta = sb_dev.meta
+        grad_meta = (n_wins, int(n_gt), spill_bwd_offsets, spill_bwd_meta)
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
               grad_meta, block_rows, (pack_fwd, pack_bwd)),
@@ -723,6 +749,233 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
             transcendentals=0,
         ),
     )(block_of_tile, win_of_tile, tile_start, c_off, table, c_stream)
+
+
+def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
+                             tile_start_ref, c_off_ref, da_hbm, c_hbm, w_hbm,
+                             h_hbm, dh_hbm, dw_hbm, acc, dh_buf, tbl_buf,
+                             c_buf, w_buf, h_buf, dw_acc, tbl_sem, c_sem,
+                             w_sem, h_sem, dh_sem, dw_sem, *, window, nbuf,
+                             n_wins, out_rows, t2, n_src_blocks):
+    """Transposed window pass with a FUSED dh/dW epilogue.
+
+    Same DMA-ring structure as :func:`_window_mono_kernel` with roles
+    swapped (out blocks = ``out_rows``-row table windows of Y = Cᵀ·ā,
+    inputs = ``window``-row ā dst blocks), but Y never reaches HBM: each
+    completed window acc splits into its [128, D] (src-block, type) slabs
+    — in block-major row order slab g = win·S + j IS the pair
+    (b, t) = (g // T2, g % T2) — and the epilogue computes
+
+        dh[b]  += Y_slab · W_t       (flushed once per src block)
+        dW[t]  += h_bᵀ · Y_slab      (1 MB VMEM accumulator, one flush)
+
+    on the VMEM-resident slab.  This deletes the [T2·N, D] Y intermediate
+    (~1 GB at the headline config: its kernel flush plus two einsum
+    re-reads).  The bias gradient db is NOT computed here — it is one
+    [T2, N]·[N, D] matmul against the precomputed kept-edge in-degree
+    (``gt_indeg``) outside.  Empty windows (no real tiles) skip all MXU
+    work.  Requires row_major='block', (T2·N) % out_rows == 0, unpacked
+    counts."""
+    t0 = tile_start_ref[0]
+    t1 = tile_start_ref[n_wins]
+    S = out_rows // 128
+
+    # one-time: message weights to VMEM; h blocks 0/1 prefetch
+    wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
+    wcp.start()
+    wcp.wait()
+
+    def h_dma(slot, b):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(b * 128, 128), :], h_buf.at[slot], h_sem.at[slot])
+
+    h_dma(0, 0).start()
+    if n_src_blocks > 1:
+        h_dma(1, 1).start()
+
+    dw_acc[...] = jnp.zeros_like(dw_acc)
+
+    def in_dma(slot, t):
+        m = pltpu.make_async_copy(
+            da_hbm.at[pl.ds(win_of_tile_ref[t] * window, window), :],
+            tbl_buf.at[slot], tbl_sem.at[slot])
+        c = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(c_off_ref[t] * out_rows, out_rows), :],
+            c_buf.at[slot], c_sem.at[slot])
+        return m, c
+
+    def start_in(slot, t):
+        @pl.when(win_of_tile_ref[t] >= 0)
+        def _():
+            m, c = in_dma(slot, t)
+            m.start()
+            c.start()
+
+    def prolog(k, _):
+        @pl.when(t0 + k < t1)
+        def _():
+            start_in(k, t0 + k)
+        return 0
+
+    jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+
+    def dh_out(slot, b):
+        return pltpu.make_async_copy(
+            dh_buf.at[slot], dh_hbm.at[pl.ds(b * 128, 128), :],
+            dh_sem.at[slot])
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t0, nbuf)
+        blk = block_of_tile_ref[t]
+        par = jax.lax.rem(blk, 2)
+        first = t == tile_start_ref[blk]
+        last = t == tile_start_ref[blk + 1] - 1
+        real = win_of_tile_ref[t] >= 0
+
+        # a dummy tile sorts first within its window (or is its only
+        # tile): zero-init the accumulator for the real tiles after it
+        @pl.when(jnp.logical_and(first, jnp.logical_not(real)))
+        def _():
+            acc[par] = jnp.zeros_like(acc[par])
+
+        @pl.when(real)
+        def _():
+            m, c = in_dma(slot, t)
+            m.wait()
+            c.wait()
+            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, False)
+
+            @pl.when(first)
+            def _():
+                acc[par] = prod
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                acc[par] = acc[par] + prod
+
+        @pl.when(t + nbuf < t1)
+        def _():
+            start_in(slot, t + nbuf)
+
+        @pl.when(last)
+        def _():
+            # window blk's Y rows are complete in acc[par] (or the window
+            # is empty): run the dh/dW epilogue slab by slab
+            nonempty = jnp.logical_or(
+                tile_start_ref[blk + 1] - tile_start_ref[blk] > 1, real)
+            for j in range(S):
+                g = blk * S + j
+                b = g // t2
+                tt = jax.lax.rem(g, t2)
+                hslot = jax.lax.rem(b, 2)
+
+                @pl.when(tt == 0)
+                def _():
+                    # dh_buf[hslot] frees once block b-2's flush lands;
+                    # h block b was prefetched two blocks ago
+                    @pl.when(b >= 2)
+                    def _():
+                        dh_out(hslot, b - 2).wait()
+                    dh_buf[hslot] = jnp.zeros_like(dh_buf[hslot])
+                    h_dma(hslot, b).wait()
+
+                @pl.when(nonempty)
+                def _():
+                    slab = acc[par, j * 128:(j + 1) * 128, :].astype(
+                        w_buf.dtype)
+                    # w_buf holds Wᵀ per type: the dh dot is then a
+                    # standard (1,0) contraction (an rhs-transposed
+                    # dot_general lowers to an explicit [128,128]
+                    # transpose per slab); the dW dot's lhs-transpose
+                    # ((0,0) contraction) is MXU-native
+                    dh_buf[hslot] += jax.lax.dot_general(
+                        slab, w_buf[tt], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dw_acc[tt] += jax.lax.dot_general(
+                        h_buf[hslot], slab, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                @pl.when(tt == t2 - 1)
+                def _():
+                    dh_out(hslot, b).start()
+
+                    @pl.when(b + 2 < n_src_blocks)
+                    def _():
+                        h_dma(hslot, b + 2).start()
+
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+    if n_src_blocks >= 2:
+        dh_out((n_src_blocks - 2) % 2, n_src_blocks - 2).wait()
+    dh_out((n_src_blocks - 1) % 2, n_src_blocks - 1).wait()
+    dwcp = pltpu.make_async_copy(dw_acc, dw_hbm, dw_sem)
+    dwcp.start()
+    dwcp.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_wins", "window", "out_rows", "t2",
+                                    "nbuf", "interpret"))
+def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
+                     win_of_tile, c_off, msg_w, h, n_wins: int, window: int,
+                     out_rows: int, t2: int, nbuf: int = 6,
+                     interpret: bool = False):
+    """Fused backward of the windowed aggregation: returns (dh [N, D] f32,
+    dW [T2, D, D] f32) without materializing Y (see the kernel docstring).
+    ``window`` = ā block rows (the layout's block_rows), ``out_rows`` = the
+    table window W."""
+    N, D = h.shape
+    if (t2 * N) % out_rows or out_rows % 128:
+        raise ValueError("fused backward needs (T2*N) % W == 0, W % 128 == 0")
+    if n_wins != (t2 * N) // out_rows:
+        raise ValueError("n_wins inconsistent with T2*N/W")
+    # pre-transposed weights, one dtype for the w/h VMEM buffers
+    msg_w = msg_w.transpose(0, 2, 1).astype(h.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, out_rows, D), jnp.float32),       # acc (Y window)
+            pltpu.VMEM((2, 128, D), jnp.float32),            # dh_buf
+            pltpu.VMEM((nbuf, window, D), da_pad.dtype),     # tbl_buf (ā)
+            pltpu.VMEM((nbuf, out_rows, window), c_stream.dtype),
+            pltpu.VMEM(msg_w.shape, msg_w.dtype),            # w_buf
+            pltpu.VMEM((2, 128, D), msg_w.dtype),            # h_buf
+            pltpu.VMEM((t2, D, D), jnp.float32),             # dw_acc
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_window_bwd_fused_kernel, window=window,
+                               nbuf=nbuf, n_wins=n_wins, out_rows=out_rows,
+                               t2=t2, n_src_blocks=N // 128)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N, D), jnp.float32),
+                   jax.ShapeDtypeStruct((t2, D, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * win_of_tile.shape[0] * out_rows * window * D
+            + 2 * n_wins * out_rows * D * D * 2,
+            bytes_accessed=win_of_tile.shape[0]
+            * (window * D * da_pad.dtype.itemsize + out_rows * window)
+            + N * D * (4 + msg_w.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(block_of_tile, win_of_tile, tile_start, c_off, da_pad, c_stream,
+      msg_w, h)
 
 
 def _table_block_kernel(h_ref, w_ref, b_ref, out_ref):
@@ -1185,18 +1438,18 @@ def _spill_scatter(table, arrs, spill_meta, interpret):
                                spill_meta, interpret)
 
 
-def _spill_scatter_msgs(msgs, arrs, spill_meta, interpret):
+def _spill_scatter_msgs(msgs, arrs, spill_meta, interpret, prefix="s_"):
     s_tile_e, s_blocks = spill_meta[1], spill_meta[3]
     align = spill_meta[6] if len(spill_meta) > 6 else None
     if align is not None:
         return window_block_spmm_mono(
-            msgs, arrs["s_onehot"], arrs["s_tile_start"],
-            arrs["s_block_of_tile"], arrs["s_tile_msg_off"],
+            msgs, arrs[prefix + "onehot"], arrs[prefix + "tile_start"],
+            arrs[prefix + "block_of_tile"], arrs[prefix + "tile_msg_off"],
             n_blocks=s_blocks, window=s_tile_e, win_stride=align,
             out_rows=BLOCK_N, interpret=interpret)
     return onehot_segment_scatter_flat(
-        msgs, arrs["s_onehot"], arrs["s_tile_start"],
-        arrs["s_block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
+        msgs, arrs[prefix + "onehot"], arrs[prefix + "tile_start"],
+        arrs[prefix + "block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
         interpret=interpret)
 
 
@@ -1245,6 +1498,57 @@ def _aggregate_window_fwd(meta, interpret, arrs, h, msg_w, msg_b):
         (arrs, h, msg_w)
 
 
+def _spill_backward(arrs, sp_offs, sb_meta, h, da, msg_w, interpret):
+    """dh/dW contributions of the SPILLED edges (db is folded into the
+    gt_indeg matmul by the caller), with NO row-serialized XLA op:
+    segment_sum and ``.at[].add`` are row-op-rate-bound (~5 ms each for
+    ~400K rows, 10 of the 12 ms spill backward).  Per-edge da rows in
+    type-major static buckets feed batched einsums; the dh scatter rides
+    the one-hot MXU kernel (same machinery as the forward spill).
+
+    When the layout builder chose UNIFORM bucket sizes the einsums are
+    single batched [T2, P, D] contractions; otherwise a per-type loop over
+    static ragged slices."""
+    N, D = h.shape
+    T2 = msg_w.shape[0]
+    src = arrs["s_bwd_src"]
+    tot = src.shape[0]
+    # row-rate-bound gathers (reads are ~4× cheaper than scattered writes)
+    G = da[arrs["s_bwd_dst"]]
+    # padding slots carry src == n_src_rows: zero their h rows so the dW
+    # einsum drops them (their dh rows are excluded by the one-hot pack)
+    Hsp = jnp.where((src < N)[:, None], h[jnp.minimum(src, N - 1)], 0)
+    strides = {sp_offs[t + 1] - sp_offs[t] for t in range(T2)}
+    if len(strides) == 1:
+        P = strides.pop()
+        Gb = G.reshape(T2, P, D)
+        dh_e = jnp.einsum("tpf,tdf->tpd", Gb, msg_w,
+                          preferred_element_type=jnp.float32
+                          ).reshape(tot, D)
+        dW_sp = jnp.einsum("tpd,tpf->tdf", Hsp.reshape(T2, P, D), Gb,
+                           preferred_element_type=jnp.float32)
+    else:
+        dh_rows, dw_rows = [], []
+        for t in range(T2):
+            o0, o1 = sp_offs[t], sp_offs[t + 1]
+            gsl = G[o0:o1]
+            dh_rows.append(jnp.dot(gsl, msg_w[t].T,
+                                   preferred_element_type=jnp.float32))
+            dw_rows.append(jnp.dot(Hsp[o0:o1].T, gsl,
+                                   preferred_element_type=jnp.float32))
+        dh_e = jnp.concatenate(dh_rows, axis=0)
+        dW_sp = jnp.stack(dw_rows)
+    if sb_meta is not None:
+        msgs = dh_e.astype(h.dtype)[arrs["sb_gather_idx"]]
+        dh_sp = _spill_scatter_msgs(msgs, arrs, sb_meta, interpret,
+                                    prefix="sb_")[:N]
+    else:
+        # fallback (n_src_rows not 128-aligned): row-serialized scatter
+        dh_sp = jnp.zeros((N, D), jnp.float32).at[
+            jnp.minimum(src, N)].add(dh_e, mode="drop")
+    return dh_sp, dW_sp
+
+
 def _aggregate_window_bwd(meta, interpret, res, da):
     arrs, h, msg_w = res
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, grad_meta,
@@ -1253,12 +1557,39 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     if grad_meta is None:
         raise ValueError("aggregate_window backward needs a layout built "
                          "with_grad=True")
-    n_wins, _, sp_offs = grad_meta
+    n_wins, _, sp_offs = grad_meta[:3]
+    sb_meta = grad_meta[3] if len(grad_meta) > 3 else None
     N, D = h.shape
     T2 = msg_w.shape[0]
     R = T2 * N
     da_pad = jnp.pad(da.astype(h.dtype),
                      ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
+    dh_sp = dW_sp = None
+    if spill_meta is not None:
+        dh_sp, dW_sp = _spill_backward(arrs, sp_offs, sb_meta, h, da, msg_w,
+                                       interpret)
+    # db covers ALL real edges (kept + spilled) via the precomputed
+    # in-degree: one [T2, N]·[N, D] matmul, no Y row-sum and no masked
+    # spill reduction
+    db = jnp.einsum("tn,nd->td", arrs["gt_indeg"], da,
+                    preferred_element_type=jnp.float32)
+    if (row_major == "block" and not pack_bwd and W % 128 == 0
+            and N % 128 == 0 and (T2 * N) % W == 0
+            and n_wins == (T2 * N) // W):
+        # fused path: dh/dW straight out of the transposed kernel's VMEM
+        # windows (no [T2·N, D] Y in HBM)
+        dh, dW = window_bwd_fused(
+            da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
+            arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+            arrs["gt_c_off"], msg_w, h, n_wins=n_wins, window=block_rows,
+            out_rows=W, t2=T2, interpret=interpret)
+        if dh_sp is not None:
+            dh = dh + dh_sp
+            dW = dW + dW_sp
+        d_arrs = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
+        return (d_arrs, dh.astype(h.dtype), dW.astype(msg_w.dtype),
+                db.astype(msg_w.dtype))
     # Y[row] = Σ_{(u,t,v)} ā_v over windowed edges: the same mono kernel,
     # transposed roles (out blocks = W table rows, inputs = ā dst blocks).
     # Y is a [T2·N, D]-sized intermediate — emit it in the compute dtype
@@ -1269,60 +1600,27 @@ def _aggregate_window_bwd(meta, interpret, res, da):
         window=block_rows, out_rows=W, packed=pack_bwd,
         c_off=arrs.get("gt_c_off"), out_dtype=h.dtype,
         interpret=interpret)[:R]
-    dh_sp = dW_sp = db_sp = None
-    if spill_meta is not None:
-        # spill backward WITHOUT touching Y (a sparse scatter-add into the
-        # [T2·N, D] operand measured ~12 ms — the scatter pays for the
-        # operand size, not the 380K update rows): segment-sum da into
-        # compact type-major (t, u) buckets with static per-type offsets,
-        # then per-type matmuls give the spill's dh/dW/db directly
-        G = da[arrs["s_bwd_dst"]]       # row-rate-bound: f32 costs as bf16
-        u_tot = arrs["s_bwd_src"].shape[0]
-        Ysp = jax.ops.segment_sum(G, arrs["s_bwd_seg"], num_segments=u_tot,
-                                  indices_are_sorted=True).astype(h.dtype)
-        # h rows of the unique spilled sources (padding slots clamp to row
-        # 0 — their Ysp rows are zero, so they contribute nothing)
-        Hsp = h[jnp.minimum(arrs["s_bwd_src"], N - 1)]
-        dh_rows, dw_rows, db_rows = [], [], []
-        for t in range(T2):
-            o0, o1 = sp_offs[t], sp_offs[t + 1]
-            ysl = Ysp[o0:o1]
-            dh_rows.append(jnp.dot(ysl, msg_w[t].T,
-                                   preferred_element_type=jnp.float32))
-            dw_rows.append(jnp.dot(Hsp[o0:o1].T, ysl,
-                                   preferred_element_type=jnp.float32))
-            db_rows.append(jnp.sum(ysl, axis=0, dtype=jnp.float32))
-        dW_sp = jnp.stack(dw_rows)
-        db_sp = jnp.stack(db_rows)
-        # one scatter into the [N, D] dh (16× smaller operand than Y);
-        # padding slots target row N → dropped as out-of-bounds
-        dh_sp = jnp.zeros((N, D), jnp.float32).at[arrs["s_bwd_src"]].add(
-            jnp.concatenate(dh_rows, axis=0))
     if row_major == "block":
         Yb = Y.reshape(N // 128, T2, 128, D)
         dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
                         preferred_element_type=jnp.float32).reshape(N, D)
         dW = jnp.einsum("bsd,btsf->tdf", h.reshape(N // 128, 128, D), Yb,
                         preferred_element_type=jnp.float32)
-        db = jnp.sum(Yb, axis=(0, 2), dtype=jnp.float32)
     elif row_major == "src":
         Yr = Y.reshape(N, T2, D)
         dh = jnp.einsum("ntf,tdf->nd", Yr, msg_w,
                         preferred_element_type=jnp.float32)
         dW = jnp.einsum("nd,ntf->tdf", h, Yr,
                         preferred_element_type=jnp.float32)
-        db = jnp.sum(Yr, axis=0, dtype=jnp.float32)
     else:
         Yr = Y.reshape(T2, N, D)
         dh = jnp.einsum("tnf,tdf->nd", Yr, msg_w,
                         preferred_element_type=jnp.float32)
         dW = jnp.einsum("nd,tnf->tdf", h, Yr,
                         preferred_element_type=jnp.float32)
-        db = jnp.sum(Yr, axis=1, dtype=jnp.float32)
     if dh_sp is not None:
         dh = dh + dh_sp
         dW = dW + dW_sp
-        db = db + db_sp
     d_arrs = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
     return (d_arrs, dh.astype(h.dtype), dW.astype(msg_w.dtype),

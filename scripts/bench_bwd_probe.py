@@ -71,7 +71,8 @@ def diff_chain(tag, chain, *args):
 
 def main():
     which = set(sys.argv[1:]) or {"step", "vg", "fwdagg", "ykernel",
-                                  "gather", "spillbwd", "einsums", "grubwd"}
+                                  "gather", "spillbwd", "dhscatter",
+                                  "segsum", "einsums", "grubwd"}
     batch = synthetic_batch(262_144, 4_000_000, T, annotation_dim=8, seed=0,
                             node_mult=128, n_communities=512, p_intra=0.95)
     N = batch.spec.n_pad
@@ -203,28 +204,15 @@ def main():
     if "spillbwd" in which:
         hb = h0.astype(jnp.bfloat16)
 
+        sb_meta = lay.grad_meta[3] if len(lay.grad_meta) > 3 else None
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def sb_chain(da, hb, arrs, k):
             def body(i, carry):
                 da, tot = carry
-                G = da.astype(jnp.float32)[arrs["s_bwd_dst"]]
-                Ysp = jax.ops.segment_sum(
-                    G, arrs["s_bwd_seg"], num_segments=U,
-                    indices_are_sorted=True).astype(jnp.bfloat16)
-                Hsp = hb[jnp.minimum(arrs["s_bwd_src"], N - 1)]
-                dh_rows = []
-                dw = []
-                for t in range(T2):
-                    o0, o1 = sp_offs[t], sp_offs[t + 1]
-                    ysl = Ysp[o0:o1]
-                    dh_rows.append(jnp.dot(
-                        ysl, msg_w[t].T,
-                        preferred_element_type=jnp.float32))
-                    dw.append(jnp.dot(Hsp[o0:o1].T, ysl,
-                                      preferred_element_type=jnp.float32))
-                dh_sp = jnp.zeros((N, D), jnp.float32).at[
-                    arrs["s_bwd_src"]].add(jnp.concatenate(dh_rows))
-                s = dh_sp[0, 0] + jnp.stack(dw)[0, 0, 0]
+                dh_sp, dW_sp = wp._spill_backward(arrs, sp_offs, sb_meta,
+                                                  hb, da, msg_w, False)
+                s = dh_sp[0, 0] + dW_sp[0, 0, 0]
                 da = da.at[0, 0].set(da[0, 0]
                                      + (1e-30 * s).astype(da.dtype))
                 return da, tot + s
@@ -232,6 +220,42 @@ def main():
             return tot
 
         diff_chain("spillbwd typed", sb_chain, da0, hb, arrs)
+
+    if "dhscatter" in which:
+        rows0 = jax.random.normal(jax.random.PRNGKey(5), (U, D),
+                                  dtype=jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def dhs_chain(rows, arrs, k):
+            def body(i, carry):
+                rows, tot = carry
+                dh_sp = jnp.zeros((N, D), jnp.float32).at[
+                    arrs["s_bwd_src"]].add(rows)
+                s = dh_sp[0, 0]
+                rows = rows.at[0, 0].set(rows[0, 0] + 1e-30 * s)
+                return rows, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (rows, jnp.float32(0)))
+            return tot
+
+        diff_chain("dh scatter", dhs_chain, rows0, arrs)
+
+    if "segsum" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def ss_chain(da, arrs, k):
+            def body(i, carry):
+                da, tot = carry
+                G = da[arrs["s_bwd_dst"]]
+                Ysp = jax.ops.segment_sum(
+                    G, arrs["s_bwd_seg"], num_segments=U,
+                    indices_are_sorted=True).astype(jnp.bfloat16)
+                s = Ysp[0, 0].astype(jnp.float32)
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return tot
+
+        diff_chain("gather+segsum", ss_chain, da0, arrs)
 
     if "einsums" in which:
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -255,6 +279,70 @@ def main():
         Y0 = jnp.zeros((R, D), jnp.bfloat16)
         diff_chain("bwd einsums", ein_chain, h0, Y0)
         del Y0
+
+    if "fusedk" in which:
+        NB = N // BR
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def fk_chain(da, hb, arrs, k):
+            da_pad = da.astype(jnp.bfloat16)
+
+            def body(i, carry):
+                da, tot = carry
+                dh, dW = wp.window_bwd_fused(
+                    da, arrs["ct_stream"], arrs["gt_tile_start"],
+                    arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+                    arrs["gt_c_off"], msg_w, hb, n_wins=n_wins, window=BR,
+                    out_rows=W, t2=T2)
+                s = dh[0, 0] + dW[0, 0, 0]
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da_pad, jnp.float32(0)))
+            return tot
+
+        diff_chain("fused bwd kernel", fk_chain, da0,
+                   h0.astype(jnp.bfloat16), arrs)
+
+    if "dbein" in which:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def db_chain(da, arrs, k):
+            def body(i, carry):
+                da, tot = carry
+                db = jnp.einsum("tn,nd->td", arrs["gt_indeg"], da,
+                                preferred_element_type=jnp.float32)
+                s = db[0, 0]
+                da = da.at[0, 0].set(da[0, 0]
+                                     + (1e-30 * s).astype(da.dtype))
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return tot
+
+        diff_chain("db indeg einsum", db_chain, da0, arrs)
+
+    if "vgstep" in which:
+        # ONE full propagation step (agg + GRU) under value_and_grad —
+        # compared against vg + grubwd it isolates inter-op overhead
+        fused = fuse_gru(prop["gru"])
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def vs_chain(h, lay, k):
+            def body(i, carry):
+                h, tot = carry
+
+                def loss(hh):
+                    a = wp.aggregate_window(hh.astype(jnp.bfloat16), lay,
+                                            msg_w, msg_b, interpret=False)
+                    hn = gru_update(prop["gru"], hh, a, fused)
+                    return jnp.sum(hn * hn)
+
+                l, g = jax.value_and_grad(loss)(h)
+                h = h + 1e-30 * g
+                return h, tot + l
+            _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+            return tot
+
+        diff_chain("vg full step", vs_chain, h0, lay)
 
     if "grubwd" in which:
         fused = fuse_gru(prop["gru"])

@@ -317,13 +317,17 @@ def test_propagate_window_backend(rng):
                                rtol=3e-5, atol=3e-6)
 
 
-@pytest.mark.parametrize("row_major", ["block", "src", "type"])
-def test_window_grad_parity(rng, row_major):
-    """jax.grad through aggregate_window (with_grad layout: transposed
-    mono kernel + XLA spill fallback) matches the XLA segment path."""
+@pytest.mark.parametrize("row_major,window",
+                         [("block", 64), ("block", 128), ("block", 256),
+                          ("src", 64), ("type", 64)])
+def test_window_grad_parity(rng, row_major, window):
+    """jax.grad through aggregate_window matches the XLA segment path.
+    row_major='block' with window % 128 == 0 exercises the FUSED backward
+    kernel (dh/dW epilogue, in-degree db); the others exercise the
+    Y-materializing fallback + one-hot spill backward."""
     N, E, T2, D = 256, 600, 6, 32
     src, dst, typ, mask = random_edges(rng, N, E, T2)
-    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+    lay = build_window_layout(src, dst, typ, mask, N, window=window,
                               min_edges_per_tile=4, spill_tile_e=8,
                               n_message_types=T2, row_major=row_major,
                               with_grad=True)
@@ -332,6 +336,70 @@ def test_window_grad_parity(rng, row_major):
     h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
     w, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
     tgt = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+    def loss_ref(h, w, b):
+        out = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                              jnp.asarray(typ), jnp.asarray(mask), w, b)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_win(h, w, b):
+        out = aggregate_window(h, lay, w, b, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    g_win = jax.grad(loss_win, argnums=(0, 1, 2))(h, w, b)
+    for a, c, name in zip(g_win, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_window_grad_parity_dummy_first_windows(rng):
+    """REGRESSION: fused backward with sparse-ish kept tiles, where many
+    backward windows' first tile is the zero-init dummy (no real tile at
+    dst block 0) — the fused kernel must zero acc before accumulating
+    (caught by the numpy-oracle verify: dh was 36% off without it)."""
+    N, E, T2, D = 384, 2000, 4, 64
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=128,
+                              min_edges_per_tile=40, spill_tile_e=8,
+                              n_message_types=T2, row_major="block",
+                              with_grad=True, force_spill=True)
+    assert 0 < lay.stats["spill_frac"] < 0.5
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (N, D))
+
+    def loss_ref(h, w, b):
+        out = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                              jnp.asarray(typ), jnp.asarray(mask), w, b)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_win(h, w, b):
+        out = aggregate_window(h, lay, w, b, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    g_win = jax.grad(loss_win, argnums=(0, 1, 2))(h, w, b)
+    for a, c, name in zip(g_win, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_window_grad_parity_straddle(rng):
+    """Fused backward with windows that STRADDLE src-block boundaries
+    (T2·128 not a multiple of W: here T2=3, W=256 → window 1 holds block
+    0's t=2 slab AND block 1's t=0 slab — the dh flush fires mid-window)."""
+    N, E, T2, D = 256, 700, 3, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=4, spill_tile_e=8,
+                              n_message_types=T2, row_major="block",
+                              with_grad=True)
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (N, D))
 
     def loss_ref(h, w, b):
         out = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
