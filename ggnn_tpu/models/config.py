@@ -26,6 +26,9 @@ class ModelConfig:
     gate_dim: int = 0             # SDDMM inner dim (0 → state_dim)
     share_round_nets: bool = True  # GGS-NN: share F_o/F_x across rounds
     compute_dtype: str = "float32"  # aggregation dtype (bf16 ok; f32 accum)
+    gru_matmul_compute: bool = True  # GRU matmul INPUTS in compute_dtype
+                                  # (gates/state/accum stay f32); no-op
+                                  # when compute_dtype is float32
     remat: bool = False           # jax.checkpoint each propagation step:
                                   # backward recomputes aggregation instead
                                   # of storing [T, N, D] activations

@@ -9,6 +9,8 @@ for the MXU; the whole recurrence is a single ``lax.scan`` inside jit
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,23 +26,87 @@ def init_state(annotations: jax.Array, state_dim: int) -> jax.Array:
 
 
 def gru_update(gru: dict, h: jax.Array, a: jax.Array,
-               fused: tuple | None = None) -> jax.Array:
+               fused: tuple | None = None,
+               matmul_dtype=None) -> jax.Array:
     """GRU cell (SURVEY.md §2.1 C6).  If ``fused`` is given it is the
     precomputed (W_a[D,3D], b[3D], U_zr[D,2D]) concatenation — one MXU pass
-    for all three a-projections and one for the z/r h-projections."""
-    D = h.shape[-1]
+    for all three a-projections and one for the z/r h-projections.
+
+    ``matmul_dtype`` (e.g. bf16) casts the MATMUL INPUTS only — gates,
+    state and accumulation stay f32 (the MXU is bf16-native; f32 matmuls
+    run at a fraction of peak).  Production sets this to the aggregation
+    compute dtype; the paper-parity default keeps full f32.
+
+    The cell carries a custom VJP with MINIMAL residuals (z, r, h̃ — in
+    ``matmul_dtype`` when set): XLA's default AD materializes the [N, 3D]
+    pre-activation projections and every gate intermediate per step, which
+    measured 7.6 ms at 262K nodes/D=128 — ~3× the traffic the math needs.
+    Gate gradients recompute from the saved gates (σ' = z(1−z) etc.)."""
     if fused is None:
         fused = fuse_gru(gru)
     w_a, b_all, u_zr = fused
-    proj_a = jnp.dot(a, w_a, preferred_element_type=jnp.float32) + b_all
-    proj_h = jnp.dot(h, u_zr, preferred_element_type=jnp.float32)
+    mdt = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
+    return _gru_core(mdt, w_a, b_all, u_zr, gru["uh"], h, a)
+
+
+def _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a):
+    D = h.shape[-1]
+    proj_a = _mm(mdt, a, w_a) + b_all
+    proj_h = _mm(mdt, h, u_zr)
     az, ar, ah = proj_a[..., :D], proj_a[..., D:2 * D], proj_a[..., 2 * D:]
     hz, hr = proj_h[..., :D], proj_h[..., D:]
     z = jax.nn.sigmoid(az + hz)
     r = jax.nn.sigmoid(ar + hr)
-    htil = jnp.tanh(ah + jnp.dot(r * h, gru["uh"],
-                                 preferred_element_type=jnp.float32))
-    return (1.0 - z) * h + z * htil
+    htil = jnp.tanh(ah + _mm(mdt, r * h, uh))
+    return (1.0 - z) * h + z * htil, z, r, htil
+
+
+def _mm(mdt, x, w):
+    if mdt is not None:
+        x, w = x.astype(mdt), w.astype(mdt)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_core(mdt, w_a, b_all, u_zr, uh, h, a):
+    return _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a)[0]
+
+
+def _gru_core_fwd(mdt, w_a, b_all, u_zr, uh, h, a):
+    out, z, r, htil = _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a)
+    rdt = h.dtype if mdt is None else mdt
+    res = (w_a, u_zr, uh, h, a,
+           z.astype(rdt), r.astype(rdt), htil.astype(rdt))
+    return out, res
+
+
+def _gru_core_bwd(mdt, res, g):
+    w_a, u_zr, uh, h, a, z, r, htil = res
+    z = z.astype(jnp.float32)
+    r = r.astype(jnp.float32)
+    htil = htil.astype(jnp.float32)
+    D = h.shape[-1]
+    dz = g * (htil - h)
+    dh = g * (1.0 - z)
+    dq = (g * z) * (1.0 - htil * htil)        # grad at the tanh preact
+    drh = _mm(mdt, dq, uh.T)
+    duh = _mm(mdt, (r * h).T, dq)
+    dr = drh * h
+    dh = dh + drh * r
+    dpz = dz * z * (1.0 - z)
+    dpr = dr * r * (1.0 - r)
+    dpa = jnp.concatenate([dpz, dpr, dq], axis=-1)      # [N, 3D]
+    da = _mm(mdt, dpa, w_a.T)
+    dw_a = _mm(mdt, a.T, dpa)
+    db = jnp.sum(dpa, axis=0, dtype=jnp.float32).astype(w_a.dtype)
+    dph = dpa[..., :2 * D]
+    dh = dh + _mm(mdt, dph, u_zr.T)
+    du_zr = _mm(mdt, h.T, dph)
+    return (dw_a.astype(w_a.dtype), db, du_zr.astype(u_zr.dtype),
+            duh.astype(uh.dtype), dh.astype(h.dtype), da.astype(a.dtype))
+
+
+_gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 
 
 def fuse_gru(gru: dict) -> tuple:
@@ -67,6 +133,11 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
     cdt = jnp.dtype(cfg.compute_dtype)
     msg_w_c = prop["msg_w"].astype(cdt)
     msg_b_c = prop["msg_b"].astype(cdt)
+    # GRU matmul-input dtype: follows the aggregation compute dtype (the
+    # MXU is bf16-native — f32 gate matmuls run at a fraction of peak);
+    # gates/state/accumulation stay f32 either way
+    gmm = cdt if (cfg.gru_matmul_compute
+                  and cdt != jnp.dtype(jnp.float32)) else None
 
     def edge_gate(h):
         """SDDMM edge-feature gates g_uv = σ(⟨h_u·P, h_v·Q⟩)
@@ -94,7 +165,8 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             def step(h, _):
                 a = aggregate_onehot_chunked(h.astype(cdt), chunks, msg_w_c,
                                              msg_b_c)
-                h_new = gru_update(prop["gru"], h, a, fused)
+                h_new = gru_update(prop["gru"], h, a, fused,
+                                   matmul_dtype=gmm)
                 return h_new, h_new if collect_states else None
 
             h_final, states = jax.lax.scan(step, h, None, length=cfg.n_steps)
@@ -114,7 +186,8 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         def step(h, _):
             a = aggregate_onehot(h.astype(cdt), scatter_layout, msg_w_c,
                                  msg_b_c)
-            h_new = gru_update(prop["gru"], h, a, fused)
+            h_new = gru_update(prop["gru"], h, a, fused,
+                                   matmul_dtype=gmm)
             return h_new, h_new if collect_states else None
     elif cfg.backend == "window":
         # block-CSR windowed aggregation (ops/window_pallas.py): the
@@ -141,7 +214,8 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             def step(h, _):
                 a = aggregate_window(h.astype(cdt), scatter_layout, msg_w_c,
                                      msg_b_c)
-                h_new = gru_update(prop["gru"], h, a, fused)
+                h_new = gru_update(prop["gru"], h, a, fused,
+                                   matmul_dtype=gmm)
                 return h_new, h_new if collect_states else None
     elif cfg.backend == "pallas":
         from ggnn_tpu.ops.spmm_pallas import (pack_type_tiles,
@@ -172,14 +246,16 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
         def step(h, _):
             a = typed_aggregate_tiled(h.astype(cdt), layout, msg_w_c, msg_b_c,
                                       mask=packed_gate(h))
-            h_new = gru_update(prop["gru"], h, a, fused)
+            h_new = gru_update(prop["gru"], h, a, fused,
+                                   matmul_dtype=gmm)
             return h_new, h_new if collect_states else None
     else:
         def step(h, _):
             a = typed_aggregate(h.astype(cdt), edge_src, edge_dst, edge_type,
                                 edge_gate(h), msg_w_c, msg_b_c,
                                 strategy=cfg.agg_strategy)
-            h_new = gru_update(prop["gru"], h, a, fused)
+            h_new = gru_update(prop["gru"], h, a, fused,
+                                   matmul_dtype=gmm)
             return h_new, h_new if collect_states else None
 
     if cfg.remat and not collect_states:

@@ -756,31 +756,33 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
                              h_hbm, dh_hbm, dw_hbm, acc, dh_buf, tbl_buf,
                              c_buf, w_buf, h_buf, dw_acc, tbl_sem, c_sem,
                              w_sem, h_sem, dh_sem, dw_sem, *, window, nbuf,
-                             n_wins, out_rows, t2, n_src_blocks):
+                             n_wins, out_rows, t2, n_src_blocks, wpb):
     """Transposed window pass with a FUSED dh/dW epilogue.
 
     Same DMA-ring structure as :func:`_window_mono_kernel` with roles
     swapped (out blocks = ``out_rows``-row table windows of Y = Cᵀ·ā,
-    inputs = ``window``-row ā dst blocks), but Y never reaches HBM: each
-    completed window acc splits into its [128, D] (src-block, type) slabs
-    — in block-major row order slab g = win·S + j IS the pair
-    (b, t) = (g // T2, g % T2) — and the epilogue computes
+    inputs = ``window``-row ā dst blocks), but Y never reaches HBM: acc
+    holds the ``wpb`` windows of one SOURCE BLOCK (2·wpb slots, double
+    buffered), and when a block's last window completes the epilogue reads
+    its [128, D] (src-block, type) slabs — in block-major row order the
+    slab's type index is STATIC (t = w_loc·S + j), so the dW accumulator
+    and the Wᵀ bank are indexed at compile time (dynamic-index VMEM
+    read-modify-writes measured ~3× the dot cost) — and computes
 
-        dh[b]  += Y_slab · W_t       (flushed once per src block)
-        dW[t]  += h_bᵀ · Y_slab      (1 MB VMEM accumulator, one flush)
+        dh[b]  = Σ_t Y_slab_t · W_tᵀ   (one flush per src block)
+        dW[t] += h_bᵀ · Y_slab_t       (1 MB VMEM accumulator, one flush)
 
-    on the VMEM-resident slab.  This deletes the [T2·N, D] Y intermediate
-    (~1 GB at the headline config: its kernel flush plus two einsum
-    re-reads).  The bias gradient db is NOT computed here — it is one
-    [T2, N]·[N, D] matmul against the precomputed kept-edge in-degree
-    (``gt_indeg``) outside.  Empty windows (no real tiles) skip all MXU
-    work.  Requires row_major='block', (T2·N) % out_rows == 0, unpacked
-    counts."""
+    This deletes the [T2·N, D] Y intermediate (~1 GB at the headline
+    config: its kernel flush plus two einsum re-reads).  The bias gradient
+    db is NOT computed here — it is one [T2, N]·[N, D] matmul against the
+    precomputed all-edges in-degree (``gt_indeg``) outside.  Empty windows
+    (no real tiles) skip their zero-init AND their epilogue dots.
+    Requires row_major='block', (T2·128) % W == 0, unpacked counts."""
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_wins]
     S = out_rows // 128
 
-    # one-time: message weights to VMEM; h blocks 0/1 prefetch
+    # one-time: message weights (pre-transposed) to VMEM; h blocks 0/1
     wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
     wcp.start()
     wcp.wait()
@@ -824,19 +826,28 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
             dh_buf.at[slot], dh_hbm.at[pl.ds(b * 128, 128), :],
             dh_sem.at[slot])
 
+    def nonempty(w):
+        return jnp.logical_or(
+            tile_start_ref[w + 1] - tile_start_ref[w] > 1,
+            win_of_tile_ref[tile_start_ref[w]] >= 0)
+
     def body(t, _):
         slot = jax.lax.rem(t - t0, nbuf)
         blk = block_of_tile_ref[t]
-        par = jax.lax.rem(blk, 2)
+        sl = jax.lax.rem(blk, 2 * wpb)       # acc slot for this window
         first = t == tile_start_ref[blk]
+        only = tile_start_ref[blk + 1] - tile_start_ref[blk] == 1
         last = t == tile_start_ref[blk + 1] - 1
         real = win_of_tile_ref[t] >= 0
 
-        # a dummy tile sorts first within its window (or is its only
-        # tile): zero-init the accumulator for the real tiles after it
-        @pl.when(jnp.logical_and(first, jnp.logical_not(real)))
+        # a dummy tile sorts first within its window: zero-init the slot
+        # for the real tiles after it (an EMPTY window skips the init —
+        # its epilogue group is skipped too)
+        @pl.when(jnp.logical_and(
+            first, jnp.logical_and(jnp.logical_not(real),
+                                   jnp.logical_not(only))))
         def _():
-            acc[par] = jnp.zeros_like(acc[par])
+            acc[sl] = jnp.zeros_like(acc[sl])
 
         @pl.when(real)
         def _():
@@ -847,61 +858,51 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
 
             @pl.when(first)
             def _():
-                acc[par] = prod
+                acc[sl] = prod
 
             @pl.when(jnp.logical_not(first))
             def _():
-                acc[par] = acc[par] + prod
+                acc[sl] = acc[sl] + prod
 
         @pl.when(t + nbuf < t1)
         def _():
             start_in(slot, t + nbuf)
 
-        @pl.when(last)
+        # epilogue when the LAST window of a src block completes: all wpb
+        # window slots of block b are resident; slab types are STATIC
+        @pl.when(jnp.logical_and(last, jax.lax.rem(blk, wpb) == wpb - 1))
         def _():
-            # window blk's Y rows are complete in acc[par] (or the window
-            # is empty): run the dh/dW epilogue slab by slab
-            nonempty = jnp.logical_or(
-                tile_start_ref[blk + 1] - tile_start_ref[blk] > 1, real)
-            for j in range(S):
-                g = blk * S + j
-                b = g // t2
-                tt = jax.lax.rem(g, t2)
-                hslot = jax.lax.rem(b, 2)
+            b = blk // wpb
+            hslot = jax.lax.rem(b, 2)
+            base = hslot * wpb               # first acc slot of this block
 
-                @pl.when(tt == 0)
-                def _():
-                    # dh_buf[hslot] frees once block b-2's flush lands;
-                    # h block b was prefetched two blocks ago
-                    @pl.when(b >= 2)
-                    def _():
-                        dh_out(hslot, b - 2).wait()
-                    dh_buf[hslot] = jnp.zeros_like(dh_buf[hslot])
-                    h_dma(hslot, b).wait()
+            @pl.when(b >= 2)
+            def _():
+                dh_out(hslot, b - 2).wait()  # dh_buf[hslot] frees
+            dh_buf[hslot] = jnp.zeros_like(dh_buf[hslot])
+            h_dma(hslot, b).wait()           # prefetched two blocks ago
+            for w_loc in range(wpb):
+                @pl.when(nonempty(blk - (wpb - 1) + w_loc))
+                def _(w_loc=w_loc):
+                    dh_part = None
+                    for j in range(S):
+                        tt = w_loc * S + j   # STATIC type index
+                        slab = acc[base + w_loc,
+                                   j * 128:(j + 1) * 128, :].astype(
+                                       w_buf.dtype)
+                        d = jax.lax.dot_general(
+                            slab, w_buf[tt], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        dh_part = d if dh_part is None else dh_part + d
+                        dw_acc[tt] += jax.lax.dot_general(
+                            h_buf[hslot], slab, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    dh_buf[hslot] += dh_part
+            dh_out(hslot, b).start()
 
-                @pl.when(nonempty)
-                def _():
-                    slab = acc[par, j * 128:(j + 1) * 128, :].astype(
-                        w_buf.dtype)
-                    # w_buf holds Wᵀ per type: the dh dot is then a
-                    # standard (1,0) contraction (an rhs-transposed
-                    # dot_general lowers to an explicit [128,128]
-                    # transpose per slab); the dW dot's lhs-transpose
-                    # ((0,0) contraction) is MXU-native
-                    dh_buf[hslot] += jax.lax.dot_general(
-                        slab, w_buf[tt], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    dw_acc[tt] += jax.lax.dot_general(
-                        h_buf[hslot], slab, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-                @pl.when(tt == t2 - 1)
-                def _():
-                    dh_out(hslot, b).start()
-
-                    @pl.when(b + 2 < n_src_blocks)
-                    def _():
-                        h_dma(hslot, b + 2).start()
+            @pl.when(b + 2 < n_src_blocks)
+            def _():
+                h_dma(hslot, b + 2).start()
 
         return 0
 
@@ -926,10 +927,12 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
     ``window`` = ā block rows (the layout's block_rows), ``out_rows`` = the
     table window W."""
     N, D = h.shape
-    if (t2 * N) % out_rows or out_rows % 128:
-        raise ValueError("fused backward needs (T2*N) % W == 0, W % 128 == 0")
+    if (t2 * 128) % out_rows or out_rows % 128:
+        raise ValueError("fused backward needs (T2*128) % W == 0, "
+                         "W % 128 == 0")
     if n_wins != (t2 * N) // out_rows:
         raise ValueError("n_wins inconsistent with T2*N/W")
+    wpb = (t2 * 128) // out_rows         # table windows per src block
     # pre-transposed weights, one dtype for the w/h VMEM buffers
     msg_w = msg_w.transpose(0, 2, 1).astype(h.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -942,7 +945,7 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, out_rows, D), jnp.float32),       # acc (Y window)
+            pltpu.VMEM((2 * wpb, out_rows, D), jnp.float32),  # acc (1 block)
             pltpu.VMEM((2, 128, D), jnp.float32),            # dh_buf
             pltpu.VMEM((nbuf, window, D), da_pad.dtype),     # tbl_buf (ā)
             pltpu.VMEM((nbuf, out_rows, window), c_stream.dtype),
@@ -959,7 +962,7 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
     )
     kernel = functools.partial(_window_bwd_fused_kernel, window=window,
                                nbuf=nbuf, n_wins=n_wins, out_rows=out_rows,
-                               t2=t2, n_src_blocks=N // 128)
+                               t2=t2, n_src_blocks=N // 128, wpb=wpb)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1574,7 +1577,7 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     db = jnp.einsum("tn,nd->td", arrs["gt_indeg"], da,
                     preferred_element_type=jnp.float32)
     if (row_major == "block" and not pack_bwd and W % 128 == 0
-            and N % 128 == 0 and (T2 * N) % W == 0
+            and N % 128 == 0 and (T2 * 128) % W == 0
             and n_wins == (T2 * N) // W):
         # fused path: dh/dW straight out of the transposed kernel's VMEM
         # windows (no [T2·N, D] Y in HBM)

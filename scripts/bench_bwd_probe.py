@@ -333,7 +333,8 @@ def main():
                 def loss(hh):
                     a = wp.aggregate_window(hh.astype(jnp.bfloat16), lay,
                                             msg_w, msg_b, interpret=False)
-                    hn = gru_update(prop["gru"], hh, a, fused)
+                    hn = gru_update(prop["gru"], hh, a, fused,
+                                    matmul_dtype=jnp.bfloat16)
                     return jnp.sum(hn * hn)
 
                 l, g = jax.value_and_grad(loss)(h)
@@ -355,8 +356,9 @@ def main():
                 h, tot = carry
 
                 def loss(hh, aa):
-                    return jnp.sum(gru_update(prop["gru"], hh, aa,
-                                              fused) ** 2)
+                    return jnp.sum(gru_update(prop["gru"], hh, aa, fused,
+                                              matmul_dtype=jnp.bfloat16)
+                                   ** 2)
 
                 l, (gh, ga) = jax.value_and_grad(loss, argnums=(0, 1))(h, a)
                 h = h + 1e-30 * gh

@@ -387,9 +387,9 @@ def test_window_grad_parity_dummy_first_windows(rng):
 
 
 def test_window_grad_parity_straddle(rng):
-    """Fused backward with windows that STRADDLE src-block boundaries
-    (T2·128 not a multiple of W: here T2=3, W=256 → window 1 holds block
-    0's t=2 slab AND block 1's t=0 slab — the dh flush fires mid-window)."""
+    """Windows that straddle src-block boundaries (T2·128 not a multiple
+    of W: T2=3, W=256): the block-level fused backward doesn't apply —
+    the gate must route to the Y-materializing fallback, bit-correctly."""
     N, E, T2, D = 256, 700, 3, 32
     src, dst, typ, mask = random_edges(rng, N, E, T2)
     lay = build_window_layout(src, dst, typ, mask, N, window=256,
