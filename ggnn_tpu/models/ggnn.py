@@ -95,15 +95,22 @@ def _gru_core_bwd(mdt, res, g):
     dh = dh + drh * r
     dpz = dz * z * (1.0 - z)
     dpr = dr * r * (1.0 - r)
-    dpa = jnp.concatenate([dpz, dpr, dq], axis=-1)      # [N, 3D]
-    da = _mm(mdt, dpa, w_a.T)
-    dw_a = _mm(mdt, a.T, dpa)
-    db = jnp.sum(dpa, axis=0, dtype=jnp.float32).astype(w_a.dtype)
-    dph = dpa[..., :2 * D]
-    dh = dh + _mm(mdt, dph, u_zr.T)
-    du_zr = _mm(mdt, h.T, dph)
-    return (dw_a.astype(w_a.dtype), db, du_zr.astype(u_zr.dtype),
-            duh.astype(uh.dtype), dh.astype(h.dtype), da.astype(a.dtype))
+    if mdt is not None:
+        # pre-cast once: each grad row feeds two matmuls below, and the
+        # concatenated-[N, 3D] form would materialize 400 MB of f32 at
+        # the headline config just to slice it again
+        dpz, dpr, dq = (x.astype(mdt) for x in (dpz, dpr, dq))
+    da = (_mm(mdt, dpz, w_a[:, :D].T) + _mm(mdt, dpr, w_a[:, D:2 * D].T)
+          + _mm(mdt, dq, w_a[:, 2 * D:].T))
+    dw_a = jnp.concatenate(
+        [_mm(mdt, a.T, dpz), _mm(mdt, a.T, dpr), _mm(mdt, a.T, dq)], axis=1)
+    db = jnp.concatenate(
+        [jnp.sum(x, axis=0, dtype=jnp.float32) for x in (dpz, dpr, dq)])
+    dh = dh + _mm(mdt, dpz, u_zr[:, :D].T) + _mm(mdt, dpr, u_zr[:, D:].T)
+    du_zr = jnp.concatenate([_mm(mdt, h.T, dpz), _mm(mdt, h.T, dpr)], axis=1)
+    return (dw_a.astype(w_a.dtype), db.astype(w_a.dtype),
+            du_zr.astype(u_zr.dtype), duh.astype(uh.dtype),
+            dh.astype(h.dtype), da.astype(a.dtype))
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)

@@ -324,10 +324,16 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     if with_grad:
         # transposed tiles for the backward pass Y = Cᵀ·da: out blocks are
         # W-row table ranges (every window gets ≥1 tile so its Y rows are
-        # initialized), input blocks are the 128-row dst blocks of da.
-        # Same compact-stream scheme as the forward: windows with no real
-        # tiles keep only a no-DMA dummy (that's ~half of them — the
-        # dummy-per-window zero-init otherwise streams GBs of zero counts)
+        # initialized), input blocks are the dst blocks of da.  Same
+        # compact-stream scheme as the forward: windows with no real tiles
+        # keep only a no-DMA dummy (that's ~half of them).
+        #
+        # When the FUSED backward kernel applies (row_major='block',
+        # (T2·128) % W == 0, unpacked) the backward reads the FORWARD
+        # count stream: bwd tile (w, B) is exactly fwd tile (B, w)
+        # transposed, and the kernel contracts with roles swapped
+        # ((0,0) dot_general) — no second stream is built at all (it was
+        # the same bytes again: 8.6 GB at 1M nodes / 20M edges).
         real_t = (plan.dense_keys_t if plan is not None
                   else np.unique(win[keep] * n_blocks + block[keep]))
         uniq_gt = np.unique(np.concatenate(
@@ -338,23 +344,35 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         gt_block = (uniq_gt // n_blocks).astype(np.int32)   # out: window idx
         gt_win = np.where(is_real_t, uniq_gt % n_blocks,    # in: dst block
                           -1).astype(np.int32)
-        gt_c_off = np.zeros(n_gt, np.int32)
-        gt_c_off[is_real_t] = np.arange(n_gt_real, dtype=np.int32)
         gt_counts = np.bincount(gt_block, minlength=n_wins)
         gt_start = np.zeros(n_wins + 1, np.int32)
         np.cumsum(gt_counts, out=gt_start[1:])
-        if plan is not None:
-            ct = plan.fill_counts_t(real_t, pack_bwd)
+        bwd_fwd_stream = (row_major == "block" and not pack_counts
+                          and window % 128 == 0 and (t2 * 128) % window == 0)
+        gt_c_off = np.zeros(n_gt, np.int32)
+        if bwd_fwd_stream:
+            # per-bwd-tile offset into the FORWARD stream: fwd real tiles
+            # are keyed (dst_block·n_wins + win), sorted — look up the
+            # transposed key
+            fwd_keys = ((real_t % n_blocks) * np.int64(n_wins)
+                        + real_t // n_blocks)
+            gt_c_off[is_real_t] = np.searchsorted(
+                real_keys, fwd_keys).astype(np.int32)
         else:
-            key_t = win[keep] * n_blocks + block[keep]
-            gt_of_edge = np.searchsorted(real_t, key_t)
-            ct = np.zeros((max(n_gt_real, 1) * window, block_rows), np.int8)
-            np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
-                           dst[keep] - block[keep] * block_rows), 1)
-            if pack_bwd:
-                ct = _pack_nibbles(ct)
-        arrays.update(ct_stream=jnp.asarray(ct),
-                      gt_tile_start=jnp.asarray(gt_start),
+            gt_c_off[is_real_t] = np.arange(n_gt_real, dtype=np.int32)
+            if plan is not None:
+                ct = plan.fill_counts_t(real_t, pack_bwd)
+            else:
+                key_t = win[keep] * n_blocks + block[keep]
+                gt_of_edge = np.searchsorted(real_t, key_t)
+                ct = np.zeros((max(n_gt_real, 1) * window, block_rows),
+                              np.int8)
+                np.add.at(ct, (gt_of_edge * window + rows[keep] % window,
+                               dst[keep] - block[keep] * block_rows), 1)
+                if pack_bwd:
+                    ct = _pack_nibbles(ct)
+            arrays["ct_stream"] = jnp.asarray(ct)
+        arrays.update(gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
                       gt_win_of_tile=jnp.asarray(gt_win),
                       gt_c_off=jnp.asarray(gt_c_off))
@@ -435,7 +453,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                 for k, v in sb_dev.arrays.items():
                     arrays["sb_" + k] = v
                 spill_bwd_meta = sb_dev.meta
-        grad_meta = (n_wins, int(n_gt), spill_bwd_offsets, spill_bwd_meta)
+        grad_meta = (n_wins, int(n_gt), spill_bwd_offsets, spill_bwd_meta,
+                     bwd_fwd_stream)
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
               grad_meta, block_rows, (pack_fwd, pack_bwd)),
@@ -752,37 +771,41 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
 
 
 def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
-                             tile_start_ref, c_off_ref, da_hbm, c_hbm, w_hbm,
-                             h_hbm, dh_hbm, dw_hbm, acc, dh_buf, tbl_buf,
-                             c_buf, w_buf, h_buf, dw_acc, tbl_sem, c_sem,
-                             w_sem, h_sem, dh_sem, dw_sem, *, window, nbuf,
-                             n_wins, out_rows, t2, n_src_blocks, wpb):
-    """Transposed window pass with a FUSED dh/dW epilogue.
+                             tile_start_ref, c_off_ref, dat_hbm, c_hbm,
+                             w_hbm, h_hbm, dht_hbm, dwt_hbm, acc, dht_buf,
+                             dat_buf, c_buf, w_buf, h_buf, dwt_acc, dat_sem,
+                             c_sem, w_sem, h_sem, dh_sem, dw_sem, *, window,
+                             nbuf, n_wins, out_rows, t2, n_src_blocks, wpb):
+    """Transposed window pass with a FUSED dh/dW epilogue, all in the
+    TRANSPOSED orientation so every MXU product is a standard (1,0)
+    contraction and the backward reads the FORWARD count stream:
 
-    Same DMA-ring structure as :func:`_window_mono_kernel` with roles
-    swapped (out blocks = ``out_rows``-row table windows of Y = Cᵀ·ā,
-    inputs = ``window``-row ā dst blocks), but Y never reaches HBM: acc
-    holds the ``wpb`` windows of one SOURCE BLOCK (2·wpb slots, double
-    buffered), and when a block's last window completes the epilogue reads
-    its [128, D] (src-block, type) slabs — in block-major row order the
-    slab's type index is STATIC (t = w_loc·S + j), so the dW accumulator
-    and the Wᵀ bank are indexed at compile time (dynamic-index VMEM
-    read-modify-writes measured ~3× the dot cost) — and computes
+        Yᵀ_win = āᵀ_blk · C_tile          (ā enters as āᵀ [D, N]; C is the
+                                           forward tile — bwd tile (w, B)
+                                           is fwd tile (B, w) transposed,
+                                           so no second stream exists; it
+                                           was the same bytes again,
+                                           8.6 GB at 1M nodes/20M edges)
+        dhᵀ[b] = Σ_t W_t · Yᵀ_slab_t      (one flush per src block)
+        dWᵀ[t] += Yᵀ_slab_t · h_b         (1 MB VMEM accumulator)
 
-        dh[b]  = Σ_t Y_slab_t · W_tᵀ   (one flush per src block)
-        dW[t] += h_bᵀ · Y_slab_t       (1 MB VMEM accumulator, one flush)
-
-    This deletes the [T2·N, D] Y intermediate (~1 GB at the headline
-    config: its kernel flush plus two einsum re-reads).  The bias gradient
-    db is NOT computed here — it is one [T2, N]·[N, D] matmul against the
-    precomputed all-edges in-degree (``gt_indeg``) outside.  Empty windows
-    (no real tiles) skip their zero-init AND their epilogue dots.
-    Requires row_major='block', (T2·128) % W == 0, unpacked counts."""
+    acc holds the ``wpb`` windows of one SOURCE BLOCK (2·wpb slots,
+    double buffered); in block-major row order the slab type is STATIC
+    (t = w_loc·S + j), so the dW accumulator and weight bank are indexed
+    at compile time (dynamic-index VMEM read-modify-writes measured ~3×
+    the dot cost; rhs-transposed dot_generals lower to explicit per-slab
+    transposes).  The [T2·N, D] Y intermediate (~1 GB at the headline
+    config: kernel flush + two einsum re-reads) never reaches HBM.  The
+    bias gradient is NOT computed here — one [T2, N]·[N, D] matmul
+    against the precomputed all-edges in-degree (``gt_indeg``) outside.
+    Empty windows (no real tiles) skip their zero-init AND their epilogue
+    group.  Requires row_major='block', (T2·128) % W == 0, unpacked
+    counts."""
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_wins]
     S = out_rows // 128
 
-    # one-time: message weights (pre-transposed) to VMEM; h blocks 0/1
+    # one-time: message weights to VMEM; h blocks 0/1 prefetch
     wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
     wcp.start()
     wcp.wait()
@@ -795,14 +818,14 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
     if n_src_blocks > 1:
         h_dma(1, 1).start()
 
-    dw_acc[...] = jnp.zeros_like(dw_acc)
+    dwt_acc[...] = jnp.zeros_like(dwt_acc)
 
     def in_dma(slot, t):
         m = pltpu.make_async_copy(
-            da_hbm.at[pl.ds(win_of_tile_ref[t] * window, window), :],
-            tbl_buf.at[slot], tbl_sem.at[slot])
+            dat_hbm.at[:, pl.ds(win_of_tile_ref[t] * window, window)],
+            dat_buf.at[slot], dat_sem.at[slot])
         c = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(c_off_ref[t] * out_rows, out_rows), :],
+            c_hbm.at[pl.ds(c_off_ref[t] * window, window), :],
             c_buf.at[slot], c_sem.at[slot])
         return m, c
 
@@ -823,7 +846,7 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
 
     def dh_out(slot, b):
         return pltpu.make_async_copy(
-            dh_buf.at[slot], dh_hbm.at[pl.ds(b * 128, 128), :],
+            dht_buf.at[slot], dht_hbm.at[:, pl.ds(b * 128, 128)],
             dh_sem.at[slot])
 
     def nonempty(w):
@@ -854,7 +877,8 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
             m, c = in_dma(slot, t)
             m.wait()
             c.wait()
-            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, False)
+            prod = jnp.dot(dat_buf[slot], c_buf[slot].astype(dat_buf.dtype),
+                           preferred_element_type=jnp.float32)
 
             @pl.when(first)
             def _():
@@ -878,26 +902,25 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
 
             @pl.when(b >= 2)
             def _():
-                dh_out(hslot, b - 2).wait()  # dh_buf[hslot] frees
-            dh_buf[hslot] = jnp.zeros_like(dh_buf[hslot])
+                dh_out(hslot, b - 2).wait()  # dht_buf[hslot] frees
+            dht_buf[hslot] = jnp.zeros_like(dht_buf[hslot])
             h_dma(hslot, b).wait()           # prefetched two blocks ago
             for w_loc in range(wpb):
                 @pl.when(nonempty(blk - (wpb - 1) + w_loc))
                 def _(w_loc=w_loc):
-                    dh_part = None
+                    dht_part = None
                     for j in range(S):
                         tt = w_loc * S + j   # STATIC type index
-                        slab = acc[base + w_loc,
-                                   j * 128:(j + 1) * 128, :].astype(
+                        slab = acc[base + w_loc, :,
+                                   j * 128:(j + 1) * 128].astype(
                                        w_buf.dtype)
-                        d = jax.lax.dot_general(
-                            slab, w_buf[tt], (((1,), (0,)), ((), ())),
+                        d = jnp.dot(w_buf[tt], slab,
+                                    preferred_element_type=jnp.float32)
+                        dht_part = d if dht_part is None else dht_part + d
+                        dwt_acc[tt] += jnp.dot(
+                            slab, h_buf[hslot],
                             preferred_element_type=jnp.float32)
-                        dh_part = d if dh_part is None else dh_part + d
-                        dw_acc[tt] += jax.lax.dot_general(
-                            h_buf[hslot], slab, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    dh_buf[hslot] += dh_part
+                    dht_buf[hslot] += dht_part
             dh_out(hslot, b).start()
 
             @pl.when(b + 2 < n_src_blocks)
@@ -910,7 +933,7 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
     if n_src_blocks >= 2:
         dh_out((n_src_blocks - 2) % 2, n_src_blocks - 2).wait()
     dh_out((n_src_blocks - 1) % 2, n_src_blocks - 1).wait()
-    dwcp = pltpu.make_async_copy(dw_acc, dw_hbm, dw_sem)
+    dwcp = pltpu.make_async_copy(dwt_acc, dwt_hbm, dw_sem)
     dwcp.start()
     dwcp.wait()
 
@@ -918,14 +941,16 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
 @functools.partial(jax.jit,
                    static_argnames=("n_wins", "window", "out_rows", "t2",
                                     "nbuf", "interpret"))
-def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
+def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
                      win_of_tile, c_off, msg_w, h, n_wins: int, window: int,
                      out_rows: int, t2: int, nbuf: int = 6,
                      interpret: bool = False):
-    """Fused backward of the windowed aggregation: returns (dh [N, D] f32,
-    dW [T2, D, D] f32) without materializing Y (see the kernel docstring).
-    ``window`` = ā block rows (the layout's block_rows), ``out_rows`` = the
-    table window W."""
+    """Fused backward of the windowed aggregation: returns (dhᵀ [D, N] f32,
+    dWᵀ [T2, D, D] f32) without materializing Y (see the kernel
+    docstring).  ``da_t`` is the TRANSPOSED cotangent [D, n_blocks·BR];
+    ``c_stream`` is the FORWARD count stream with ``c_off`` mapping each
+    backward tile to its forward tile; ``window`` = ā block rows (the
+    layout's block_rows), ``out_rows`` = the table window W."""
     N, D = h.shape
     if (t2 * 128) % out_rows or out_rows % 128:
         raise ValueError("fused backward needs (T2*128) % W == 0, "
@@ -933,8 +958,7 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
     if n_wins != (t2 * N) // out_rows:
         raise ValueError("n_wins inconsistent with T2*N/W")
     wpb = (t2 * 128) // out_rows         # table windows per src block
-    # pre-transposed weights, one dtype for the w/h VMEM buffers
-    msg_w = msg_w.transpose(0, 2, 1).astype(h.dtype)
+    msg_w = msg_w.astype(h.dtype)        # one dtype for the w/h buffers
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
@@ -945,13 +969,13 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2 * wpb, out_rows, D), jnp.float32),  # acc (1 block)
-            pltpu.VMEM((2, 128, D), jnp.float32),            # dh_buf
-            pltpu.VMEM((nbuf, window, D), da_pad.dtype),     # tbl_buf (ā)
-            pltpu.VMEM((nbuf, out_rows, window), c_stream.dtype),
+            pltpu.VMEM((2 * wpb, D, out_rows), jnp.float32),  # acc (1 block)
+            pltpu.VMEM((2, D, 128), jnp.float32),            # dht_buf
+            pltpu.VMEM((nbuf, D, window), da_t.dtype),       # dat_buf (āᵀ)
+            pltpu.VMEM((nbuf, window, out_rows), c_stream.dtype),
             pltpu.VMEM(msg_w.shape, msg_w.dtype),            # w_buf
             pltpu.VMEM((2, 128, D), msg_w.dtype),            # h_buf
-            pltpu.VMEM((t2, D, D), jnp.float32),             # dw_acc
+            pltpu.VMEM((t2, D, D), jnp.float32),             # dwt_acc
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
@@ -966,18 +990,18 @@ def window_bwd_fused(da_pad, c_stream, tile_start, block_of_tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((N, D), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((D, N), jnp.float32),
                    jax.ShapeDtypeStruct((t2, D, D), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * win_of_tile.shape[0] * out_rows * window * D
             + 2 * n_wins * out_rows * D * D * 2,
             bytes_accessed=win_of_tile.shape[0]
-            * (window * D * da_pad.dtype.itemsize + out_rows * window)
+            * (window * D * da_t.dtype.itemsize + out_rows * window)
             + N * D * (4 + msg_w.dtype.itemsize),
             transcendentals=0,
         ),
-    )(block_of_tile, win_of_tile, tile_start, c_off, da_pad, c_stream,
+    )(block_of_tile, win_of_tile, tile_start, c_off, da_t, c_stream,
       msg_w, h)
 
 
@@ -1562,6 +1586,7 @@ def _aggregate_window_bwd(meta, interpret, res, da):
                          "with_grad=True")
     n_wins, _, sp_offs = grad_meta[:3]
     sb_meta = grad_meta[3] if len(grad_meta) > 3 else None
+    fwd_stream = grad_meta[4] if len(grad_meta) > 4 else False
     N, D = h.shape
     T2 = msg_w.shape[0]
     R = T2 * N
@@ -1576,16 +1601,22 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     # spill reduction
     db = jnp.einsum("tn,nd->td", arrs["gt_indeg"], da,
                     preferred_element_type=jnp.float32)
-    if (row_major == "block" and not pack_bwd and W % 128 == 0
-            and N % 128 == 0 and (T2 * 128) % W == 0
-            and n_wins == (T2 * N) // W):
+    if fwd_stream:
         # fused path: dh/dW straight out of the transposed kernel's VMEM
-        # windows (no [T2·N, D] Y in HBM)
-        dh, dW = window_bwd_fused(
-            da_pad, arrs["ct_stream"], arrs["gt_tile_start"],
+        # windows (no [T2·N, D] Y in HBM), reading the FORWARD count
+        # stream in the fully-transposed orientation (āᵀ in, dhᵀ/dWᵀ out
+        # — every kernel dot a standard (1,0) contraction)
+        if N % 128 or n_wins != (T2 * N) // W:
+            raise ValueError(
+                f"fused-backward layout mismatch: h has {N} rows but the "
+                f"layout was built for {n_wins * W // T2}")
+        dht, dWt = window_bwd_fused(
+            da_pad.T, arrs["c_stream"], arrs["gt_tile_start"],
             arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
             arrs["gt_c_off"], msg_w, h, n_wins=n_wins, window=block_rows,
             out_rows=W, t2=T2, interpret=interpret)
+        dh = dht.T
+        dW = dWt.transpose(0, 2, 1)
         if dh_sp is not None:
             dh = dh + dh_sp
             dW = dW + dW_sp

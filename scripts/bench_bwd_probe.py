@@ -96,9 +96,9 @@ def main():
     U = int(arrs["s_bwd_src"].shape[0])
     sp_offs = lay.grad_meta[2]
     print(f"layout stats: {lay.stats}", flush=True)
-    print(f"spilled real edges: {E_s}  unique (t,u) rows: {U}  "
-          f"grad tiles: {n_gt}  bwd stream tiles: "
-          f"{arrs['ct_stream'].shape[0] // W}", flush=True)
+    print(f"spilled real edges: {E_s}  bucket rows: {U}  "
+          f"grad tiles: {n_gt}  fwd_stream_bwd: "
+          f"{'ct_stream' not in arrs}", flush=True)
 
     if "step" in which:
         import optax
@@ -165,7 +165,7 @@ def main():
 
         diff_chain("fwd agg", fwd_chain, h0, lay)
 
-    if "ykernel" in which:
+    if "ykernel" in which and "ct_stream" in arrs:
         @functools.partial(jax.jit, static_argnames=("k",))
         def yk_chain(da, arrs, k):
             da_pad = da.astype(jnp.bfloat16)
@@ -289,11 +289,12 @@ def main():
 
             def body(i, carry):
                 da, tot = carry
-                dh, dW = wp.window_bwd_fused(
-                    da, arrs["ct_stream"], arrs["gt_tile_start"],
+                dht, dWt = wp.window_bwd_fused(
+                    da.T, arrs["c_stream"], arrs["gt_tile_start"],
                     arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
                     arrs["gt_c_off"], msg_w, hb, n_wins=n_wins, window=BR,
                     out_rows=W, t2=T2)
+                dh, dW = dht.T, dWt
                 s = dh[0, 0] + dW[0, 0, 0]
                 da = da.at[0, 0].set(da[0, 0]
                                      + (1e-30 * s).astype(da.dtype))
