@@ -78,6 +78,11 @@ def build_args():
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "train"],
                     help="fwd: propagation only; train: full fwd+bwd+Adam")
+    ap.add_argument("--remat", action="store_true",
+                    help="mode=train: jax.checkpoint each propagation step "
+                         "(recompute aggregation in the backward instead of "
+                         "storing per-step activations — HBM-bound configs, "
+                         "e.g. 1M nodes)")
     ap.add_argument("--chunks", type=int, default=1,
                     help="split onehot scatter into N dst-range chunks "
                          "(memory-bound configs, e.g. 1M nodes)")
@@ -113,6 +118,7 @@ def main() -> int:
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
                           compute_dtype=args.dtype,
+                          remat=(args.remat and args.mode == "train"),
                           fuse_gru=(fuse_gru and backend == "window"
                                     and args.mode == "fwd"),
                           quantized_table=(args.q8 and fuse_gru

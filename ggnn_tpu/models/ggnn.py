@@ -75,13 +75,17 @@ def _gru_core(mdt, w_a, b_all, u_zr, uh, h, a):
 def _gru_core_fwd(mdt, w_a, b_all, u_zr, uh, h, a):
     out, z, r, htil = _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a)
     rdt = h.dtype if mdt is None else mdt
-    res = (w_a, u_zr, uh, h, a,
+    # `a` only feeds aᵀ·dp matmuls in the backward, which cast to the
+    # matmul dtype anyway — storing it narrow is lossless for them and
+    # drops a [N, D] f32 residual per scan step (the 0-d witness keeps
+    # the da cotangent in the primal's dtype)
+    res = (w_a, u_zr, uh, h, a.astype(rdt), jnp.zeros((), a.dtype),
            z.astype(rdt), r.astype(rdt), htil.astype(rdt))
     return out, res
 
 
 def _gru_core_bwd(mdt, res, g):
-    w_a, u_zr, uh, h, a, z, r, htil = res
+    w_a, u_zr, uh, h, a, a_wit, z, r, htil = res
     z = z.astype(jnp.float32)
     r = r.astype(jnp.float32)
     htil = htil.astype(jnp.float32)
@@ -110,7 +114,7 @@ def _gru_core_bwd(mdt, res, g):
     du_zr = jnp.concatenate([_mm(mdt, h.T, dpz), _mm(mdt, h.T, dpr)], axis=1)
     return (dw_a.astype(w_a.dtype), db.astype(w_a.dtype),
             du_zr.astype(u_zr.dtype), duh.astype(uh.dtype),
-            dh.astype(h.dtype), da.astype(a.dtype))
+            dh.astype(h.dtype), da.astype(a_wit.dtype))
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)

@@ -91,6 +91,8 @@ class DstBlockLayout:
     edge_align: "int | None" = None
     # table row space the gather indexes ('type' | 'block')
     row_order: str = "type"
+    # grad layouts carry the per-(type, dst) edge counts for the bias grad
+    indeg: "np.ndarray | None" = None
 
     @property
     def n_blocks(self) -> int:
@@ -122,8 +124,12 @@ class DstBlockLayout:
             arrays["g_dst_local"] = _jnp.asarray(g.dst_local)
             if g.onehot is not None:
                 arrays["g_onehot"] = _jnp.asarray(g.onehot)
+            if g.tile_msg_off is not None:
+                arrays["g_tile_msg_off"] = _jnp.asarray(g.tile_msg_off)
+            if g.indeg is not None:
+                arrays["g_indeg"] = _jnp.asarray(g.indeg)
             grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
-                         g.onehot is not None)
+                         g.onehot is not None, g.edge_align)
         meta = (self.n_nodes_pad, self.tile_e, self.max_tiles,
                 self.n_blocks, self.onehot is not None, grad_meta,
                 self.edge_align, self.row_order)
@@ -298,8 +304,6 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     rank = np.arange(src.shape[0]) - block_edge_start[block]
     tile_msg_off = None
     if edge_align is not None:
-        if with_grad:
-            raise ValueError("edge_align is forward-only (no grad layout)")
         if not onehot_stream:
             raise ValueError("edge_align needs onehot_stream=True (only the "
                              "mono win_stride kernel reads aligned packs)")
@@ -377,7 +381,17 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
             edge_mask=np.ones(dst.shape[0], np.float32),
             n_nodes_pad=n_rows_grad,
             tile_e=g_tile, with_grad=False, onehot_stream=onehot_stream,
-            n_src_rows=n_nodes_pad, pad_tiles_to=grad_pad_tiles_to)
+            n_src_rows=n_nodes_pad, pad_tiles_to=grad_pad_tiles_to,
+            # aligned grad pack: the backward's da gather is row-op-rate
+            # bound like the forward's — unaligned g_tile padding re-read
+            # up to +40% zero rows (the round-3 'zero-jump tax')
+            edge_align=(16 if onehot_stream and g_tile % 16 == 0 else None))
+        # per-(type, dst) edge counts: db[t] = sum_v cnt_t(v) * da[v] as
+        # ONE [T2, N]*[N, D] matmul instead of the Y row-sum einsum
+        grad.indeg = np.bincount(
+            typ * np.int64(n_nodes_pad) + dst,
+            minlength=n_message_types * n_nodes_pad).reshape(
+                n_message_types, n_nodes_pad).astype(np.float32)
     return DstBlockLayout(
         n_nodes_pad=n_nodes_pad, tile_e=tile_e,
         max_tiles=max(max_tiles, 1), gather_idx=gather_idx,
@@ -816,9 +830,17 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
     layout's table-row order."""
     grad_meta = meta[5]
     if grad_meta is not None:
-        g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta
+        g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta[:4]
+        g_align = grad_meta[4] if len(grad_meta) > 4 else None
         G = da[arrs["g_gather_idx"]].astype(da.dtype)
-        if g_has_onehot:
+        if g_align is not None:
+            from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
+            Y_flat = window_block_spmm_mono(
+                G, arrs["g_onehot"], arrs["g_tile_start"],
+                arrs["g_block_of_tile"], arrs["g_tile_msg_off"],
+                n_blocks=g_blocks, window=g_tile_e, win_stride=g_align,
+                out_rows=BLOCK_N, out_dtype=out_dtype, interpret=interpret)
+        elif g_has_onehot:
             # mono kernel: f32 VMEM accumulation, flushed in the compute
             # dtype — Y is a [T2·N, D] intermediate whose three einsum
             # consumers accumulate in f32 anyway, so a bf16 flush halves
@@ -845,6 +867,14 @@ def _aggregate_bwd(meta, interpret, res, da):
     row_order = meta[7] if len(meta) > 7 else "type"
     Y_flat = _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
                                     out_dtype=h.dtype)
+    if "g_indeg" in arrs:
+        # db as one [T2, N]·[N, D] matmul against the per-(type, dst)
+        # edge counts — skips a full Y re-read
+        db = jnp.einsum("tn,nd->td", arrs["g_indeg"], da,
+                        preferred_element_type=jnp.float32
+                        ).astype(msg_w.dtype)
+    else:
+        db = None
     if row_order == "block":
         Yb = Y_flat.reshape(N // 128, T2, 128, D)
         dh = jnp.einsum("btsf,tdf->bsd", Yb, msg_w,
@@ -852,14 +882,16 @@ def _aggregate_bwd(meta, interpret, res, da):
             .reshape(N, D).astype(h.dtype)
         dW = jnp.einsum("bsd,btsf->tdf", h.reshape(N // 128, 128, D), Yb,
                         preferred_element_type=jnp.float32).astype(msg_w.dtype)
-        db = jnp.sum(Yb, axis=(0, 2)).astype(msg_w.dtype)
+        if db is None:
+            db = jnp.sum(Yb, axis=(0, 2)).astype(msg_w.dtype)
     else:
         Y = Y_flat.reshape(T2, N, D)
         dh = jnp.einsum("tnf,tdf->nd", Y, msg_w,
                         preferred_element_type=jnp.float32).astype(h.dtype)
         dW = jnp.einsum("nd,tnf->tdf", h, Y,
                         preferred_element_type=jnp.float32).astype(msg_w.dtype)
-        db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
+        if db is None:
+            db = jnp.sum(Y, axis=1).astype(msg_w.dtype)
     d_arrs = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), arrs)
     return d_arrs, dh, dW, db

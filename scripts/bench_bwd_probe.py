@@ -70,11 +70,18 @@ def diff_chain(tag, chain, *args):
 
 
 def main():
-    which = set(sys.argv[1:]) or {"step", "vg", "fwdagg", "ykernel",
-                                  "gather", "spillbwd", "dhscatter",
-                                  "segsum", "einsums", "grubwd"}
-    batch = synthetic_batch(262_144, 4_000_000, T, annotation_dim=8, seed=0,
-                            node_mult=128, n_communities=512, p_intra=0.95)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:]
+                if a.startswith("--"))
+    nodes = int(opts.get("nodes", 262_144))
+    edges = int(opts.get("edges", 4_000_000))
+    comms = int(opts.get("communities", 512))
+    which = set(argv) or {"step", "vg", "fwdagg", "ykernel",
+                          "gather", "spillbwd", "dhscatter",
+                          "segsum", "einsums", "grubwd"}
+    batch = synthetic_batch(nodes, edges, T, annotation_dim=8, seed=0,
+                            node_mult=128, n_communities=comms,
+                            p_intra=0.95)
     N = batch.spec.n_pad
     R = T2 * N
     cfg = ModelConfig(state_dim=D, annotation_dim=8, n_edge_types=T,
