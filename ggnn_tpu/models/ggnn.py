@@ -46,6 +46,11 @@ def gru_update(gru: dict, h: jax.Array, a: jax.Array,
         fused = fuse_gru(gru)
     w_a, b_all, u_zr = fused
     mdt = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
+    N, D = h.shape
+    if mdt is not None and N % 512 == 0 and D % 128 == 0:
+        # fused Pallas cell (ops/gru_pallas.py): one pass per 512-row
+        # block; the jnp cell below measured ~3× its HBM traffic
+        return _gru_core_pallas(mdt, w_a, b_all, u_zr, gru["uh"], h, a)
     return _gru_core(mdt, w_a, b_all, u_zr, gru["uh"], h, a)
 
 
@@ -118,6 +123,38 @@ def _gru_core_bwd(mdt, res, g):
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_core_pallas(mdt, w_a, b_all, u_zr, uh, h, a):
+    from ggnn_tpu.ops.gru_pallas import gru_cell_fwd
+    itp = jax.default_backend() != "tpu"
+    return gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt=mdt,
+                        interpret=itp)[0]
+
+
+def _gru_core_pallas_fwd(mdt, w_a, b_all, u_zr, uh, h, a):
+    from ggnn_tpu.ops.gru_pallas import gru_cell_fwd
+    itp = jax.default_backend() != "tpu"
+    out, z, r, htil = gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt=mdt,
+                                   interpret=itp)
+    return out, (w_a, b_all, u_zr, uh, h, a.astype(mdt),
+                 jnp.zeros((), a.dtype), z, r, htil)
+
+
+def _gru_core_pallas_bwd(mdt, res, g):
+    from ggnn_tpu.ops.gru_pallas import gru_cell_bwd
+    w_a, b_all, u_zr, uh, h, a, a_wit, z, r, htil = res
+    itp = jax.default_backend() != "tpu"
+    dh, da, dwa, db, duzr, duh = gru_cell_bwd(
+        g.astype(jnp.float32), h, a, z, r, htil, w_a, u_zr, uh, mdt=mdt,
+        interpret=itp)
+    return (dwa.astype(w_a.dtype), db.reshape(-1).astype(b_all.dtype),
+            duzr.astype(u_zr.dtype), duh.astype(uh.dtype),
+            dh.astype(h.dtype), da.astype(a_wit.dtype))
+
+
+_gru_core_pallas.defvjp(_gru_core_pallas_fwd, _gru_core_pallas_bwd)
 
 
 def fuse_gru(gru: dict) -> tuple:
