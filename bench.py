@@ -155,9 +155,10 @@ def main() -> int:
                     batch.edge_mask, batch.spec.n_pad, tile_e=2048,
                     with_grad=(args.mode == "train"),
                     n_message_types=2 * args.types,
-                    # fwd-only 16-aligned packing: the per-row gather
-                    # engine reads ~real rows instead of tile_e-padded
-                    edge_align=(16 if args.mode == "fwd" else None),
+                    # 16-aligned packing: the per-row gather engine reads
+                    # ~real rows instead of tile_e-padded (grad layouts
+                    # pack aligned too since round 4)
+                    edge_align=16,
                     # block-major table rows: the Pallas table kernel
                     # replaces the relayout-taxed XLA einsum
                     row_order=("block" if batch.spec.n_pad % 128 == 0

@@ -217,3 +217,46 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
               parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt,
               loc, rem, warr)
     return h.reshape(-1, cfg.state_dim)
+
+
+def make_sharded_train_step(cfg: ModelConfig, mesh, optimizer,
+                            strategy: str = "halo_overlap",
+                            axis_name: str = "graph", loss_fn=None):
+    """Jitted SHARDED train step: value_and_grad straight through the
+    ``shard_map`` (XLA transposes the collectives — the all-to-all's
+    backward is the reverse all-to-all over the same static plan, so the
+    exchange schedule of SURVEY.md §5.7 holds for gradients too), then a
+    replicated optax update.
+
+    Differentiable strategies: ``all_gather`` / ``halo`` /
+    ``halo_overlap`` (pure-XLA per-shard aggregation; ``halo_overlap``
+    keeps the local/remote dataflow split, so the backward's reverse
+    all-to-all also overlaps the local VJP).  The kernel strategies
+    (``halo_onehot`` / ``halo_window``) are forward/serving paths — their
+    sharded backward needs per-shard grad layouts (future work).
+
+    ``loss_fn(h) -> scalar`` defaults to ``sum(h*h)`` (machinery/bench
+    proxy); pass a real head loss for task training.  Grad parity vs the
+    single-device path is pinned by tests/test_distributed.py."""
+    import optax
+
+    if strategy not in ("all_gather", "halo", "halo_overlap"):
+        raise ValueError(
+            f"strategy {strategy!r} is not differentiable end-to-end; use "
+            "all_gather | halo | halo_overlap")
+    if loss_fn is None:
+        def loss_fn(h):
+            return jnp.sum(h * h)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def train_step(prop, opt_state, parts):
+        def objective(p):
+            h = sharded_propagate(p, cfg, mesh, parts, strategy=strategy,
+                                  axis_name=axis_name)
+            return loss_fn(h)
+
+        loss, grads = jax.value_and_grad(objective)(prop)
+        updates, opt_state_new = optimizer.update(grads, opt_state, prop)
+        return optax.apply_updates(prop, updates), opt_state_new, loss
+
+    return train_step
