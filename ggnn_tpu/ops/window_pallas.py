@@ -1540,8 +1540,9 @@ def _spill_backward(arrs, sp_offs, sb_meta, h, da, msg_w, interpret):
     T2 = msg_w.shape[0]
     src = arrs["s_bwd_src"]
     tot = src.shape[0]
-    # row-rate-bound gathers (reads are ~4× cheaper than scattered writes)
-    G = da[arrs["s_bwd_dst"]]
+    # cast BEFORE the gather (an f32 ā gather measured ~3× the bf16 rate
+    # at 512 B rows — the row engine is byte-sensitive there)
+    G = da.astype(h.dtype)[arrs["s_bwd_dst"]]
     # padding slots carry src == n_src_rows: zero their h rows so the dW
     # einsum drops them (their dh rows are excluded by the one-hot pack)
     Hsp = jnp.where((src < N)[:, None], h[jnp.minimum(src, N - 1)], 0)

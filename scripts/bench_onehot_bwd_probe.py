@@ -168,6 +168,47 @@ def main():
         diff_chain("bwd only (full _aggregate_bwd)", bo_chain, da0, hb,
                    arrs)
 
+    if "manualvg" in which:
+        hb = h0.astype(jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def mv_chain(h, hb, lay, k):
+            def body(i, carry):
+                h, tot = carry
+                a = sp.aggregate_onehot(h.astype(jnp.bfloat16), lay, msg_w,
+                                        msg_b)
+                da = 2.0 * a
+                _, dh, dW, db = sp._aggregate_bwd(
+                    lay.meta, False, (lay.arrays, hb, msg_w), da)
+                s = (jnp.sum(a[0, :1]) + dh[0, 0].astype(jnp.float32)
+                     + dW[0, 0, 0].astype(jnp.float32))
+                h = h + 1e-30 * s
+                return h, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (h, jnp.float32(0)))
+            return tot
+
+        diff_chain("manual fwd+bwd composition", mv_chain, h0, hb, lay)
+
+    if "bwdf32" in which:
+        hb = h0.astype(jnp.bfloat16)
+        daf = jax.random.normal(jax.random.PRNGKey(6), (N, D),
+                                dtype=jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def bf_chain(da, hb, arrs, k):
+            def body(i, carry):
+                da, tot = carry
+                _, dh, dW, db = sp._aggregate_bwd(
+                    lay.meta, False, (arrs, hb, msg_w), da)
+                s = (dh[0, 0].astype(jnp.float32)
+                     + dW[0, 0, 0].astype(jnp.float32))
+                da = da.at[0, 0].set(da[0, 0] + 1e-30 * s)
+                return da, tot + s
+            _, tot = jax.lax.fori_loop(0, k, body, (da, jnp.float32(0)))
+            return tot
+
+        diff_chain("bwd only f32 da", bf_chain, daf, hb, arrs)
+
     if "einsums" in which:
         Y0 = jnp.zeros((T2 * N, D), jnp.bfloat16)
 
