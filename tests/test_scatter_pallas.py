@@ -173,3 +173,42 @@ def test_propagate_onehot_backend(rng):
     got = propagate(params["prop"], cfg_o, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("tile_e", [128, 256])
+def test_typed_pack_aggregate_parity(rng, tile_e):
+    """Typed-pack path (gather h directly, W_t inside the kernel on
+    single-type tiles, in-degree bias) matches the XLA segment path,
+    forward and gradients."""
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    N, E, T2, D = 384, 3000, 6, 64
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    typ = rng.integers(0, T2, E).astype(np.int32)
+    mask = (rng.random(E) < 0.9).astype(np.float32)
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                 tile_e=tile_e, with_grad=True)
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask), w, b)
+    got = aggregate_onehot(h, lay, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (N, D))
+
+    def loss(agg):
+        def f(h, w, b):
+            return jnp.sum((agg(h, w, b) - tgt) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(lambda h, w, b: typed_aggregate(
+        h, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+        jnp.asarray(mask), w, b)), argnums=(0, 1, 2))(h, w, b)
+    g_new = jax.grad(loss(lambda h, w, b: aggregate_onehot(
+        h, lay, w, b, interpret=True)), argnums=(0, 1, 2))(h, w, b)
+    for a, c, name in zip(g_new, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
