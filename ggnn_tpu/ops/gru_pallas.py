@@ -110,10 +110,6 @@ def _bwd_kernel(g_ref, h_ref, a_ref, z_ref, r_ref, ht_ref, wat_ref,
     duh_ref[...] += mtm(rh, dq)
 
 
-def _block_specs(n, D, cols):
-    return pl.BlockSpec((BLOCK, cols), lambda i: (i, 0))
-
-
 @functools.partial(jax.jit, static_argnames=("mdt", "interpret"))
 def gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt: str = "bfloat16",
                  interpret: bool = False):

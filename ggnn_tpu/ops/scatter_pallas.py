@@ -241,8 +241,9 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     one-hot, and overlapped DMA reads cost bandwidth, not engine rate.
     Requires the manual-DMA kernel path (window_block_spmm_mono with
     ``win_stride=edge_align``); 16 satisfies bf16's 16-sublane HBM slice
-    rule.  Incompatible with with_grad (the grad layout is built
-    unaligned) and used by the window spill path."""
+    rule.  With ``with_grad`` the grad layout packs 16-aligned too (when
+    its g_tile is a 16-multiple) — the backward's da gather is row-op-rate
+    bound like the forward's.  Used by the window spill path."""
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
     if n_src_rows is None:
@@ -891,8 +892,13 @@ def _aggregate_bwd(meta, interpret, res, da):
                                     out_dtype=h.dtype)
     if "g_indeg" in arrs:
         # db as one [T2, N]·[N, D] matmul against the per-(type, dst)
-        # edge counts — skips a full Y re-read
-        db = jnp.einsum("tn,nd->td", arrs["g_indeg"], da,
+        # edge counts — skips a full Y re-read.  da may have fewer rows
+        # than the layout's padded dst space (out[:N] slicing): pad with
+        # zeros (padding rows have zero in-degree anyway)
+        n_dst = arrs["g_indeg"].shape[1]
+        da_db = (jnp.pad(da, ((0, n_dst - da.shape[0]), (0, 0)))
+                 if da.shape[0] < n_dst else da[:n_dst])
+        db = jnp.einsum("tn,nd->td", arrs["g_indeg"], da_db,
                         preferred_element_type=jnp.float32
                         ).astype(msg_w.dtype)
     else:

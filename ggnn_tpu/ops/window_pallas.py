@@ -35,7 +35,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -1591,16 +1590,20 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     N, D = h.shape
     T2 = msg_w.shape[0]
     R = T2 * N
-    da_pad = jnp.pad(da.astype(h.dtype),
-                     ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
+    # callers may pass da with fewer rows than the layout's padded dst
+    # space (out[:N] slicing) — pad once in f32 for db (padding rows have
+    # zero in-degree) and once in the compute dtype for the kernels
+    da_f = jnp.pad(da, ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
+    da_pad = da_f.astype(h.dtype)
     dh_sp = dW_sp = None
     if spill_meta is not None:
-        dh_sp, dW_sp = _spill_backward(arrs, sp_offs, sb_meta, h, da, msg_w,
-                                       interpret)
+        dh_sp, dW_sp = _spill_backward(arrs, sp_offs, sb_meta, h, da_f,
+                                       msg_w, interpret)
     # db covers ALL real edges (kept + spilled) via the precomputed
     # in-degree: one [T2, N]·[N, D] matmul, no Y row-sum and no masked
     # spill reduction
-    db = jnp.einsum("tn,nd->td", arrs["gt_indeg"], da,
+    db = jnp.einsum("tn,nd->td", arrs["gt_indeg"],
+                    da_f[:arrs["gt_indeg"].shape[1]],
                     preferred_element_type=jnp.float32)
     if fwd_stream:
         # fused path: dh/dW straight out of the transposed kernel's VMEM

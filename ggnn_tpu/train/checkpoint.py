@@ -1,6 +1,6 @@
 """Checkpoint / resume (SURVEY.md §5.4): flat-dict npz checkpoints of
 params + optimizer state + RNG + step, with exact training-curve
-continuation (tested in tests/test_checkpoint.py).
+continuation (tested in tests/test_train.py::test_checkpoint_resume_exact).
 
 Format: a single ``.npz`` holding every pytree leaf under a ``/``-joined
 key path, plus ``__meta__`` (json: step, epoch, extra).  Restore maps leaves

@@ -246,7 +246,10 @@ def main():
 
         diff_chain("dh scatter", dhs_chain, rows0, arrs)
 
-    if "segsum" in which:
+    if "segsum" in which and "s_bwd_seg" in arrs:
+        # legacy probe: build_window_layout no longer emits s_bwd_seg (the
+        # spill backward moved to s_bwd_dst/s_bwd_src buckets) — gate like
+        # the ykernel probe's ct_stream
         @functools.partial(jax.jit, static_argnames=("k",))
         def ss_chain(da, arrs, k):
             def body(i, carry):

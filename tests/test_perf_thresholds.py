@@ -1,9 +1,11 @@
 """Performance regression thresholds (SURVEY.md §4.5) — run only on real
 TPU hardware (the CI suite forces CPU, where these are skipped).
 
-Thresholds are set at ~70% of the round-1 measured numbers
-(BASELINE.md): a regression below them means a kernel or layout change
-broke the hot path."""
+One threshold per (backend, graph regime, mode), set at ~80% of the
+round-4 measured numbers (BASELINE.md "Measured (round 4)" + the driver's
+BENCH_r01.json): a regression below any of them means a kernel, layout,
+or backward-pass change broke that hot path.  Each case is one bench.py
+subprocess (remote compiles dominate — keep iters low)."""
 
 import json
 import subprocess
@@ -16,13 +18,33 @@ import jax
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="real TPU required")
 
+# (name, extra bench.py args, threshold edges/s) — thresholds ≈ 80% of:
+# uniform fwd 257.0M / uniform train 104.6M / community fwd 786.8M
+# (driver BENCH_r01) / community train 249.1M / scale-free fwd 169.1M.
+CASES = [
+    ("uniform_fwd_onehot",
+     ["--backend", "onehot"], 205e6),
+    ("uniform_train_onehot",
+     ["--backend", "onehot", "--mode", "train"], 83e6),
+    ("community_fwd_window",
+     ["--backend", "window", "--communities", "512", "--block_rows", "512",
+      "--fuse_gru"], 620e6),
+    ("community_train_window",
+     ["--backend", "window", "--communities", "512", "--block_rows", "512",
+      "--mode", "train"], 199e6),
+    ("scalefree_fwd_window",
+     ["--backend", "window", "--powerlaw", "1.2"], 135e6),
+]
+
 
 @requires_tpu
-def test_propagation_throughput_threshold():
+@pytest.mark.parametrize("name,extra,threshold",
+                         CASES, ids=[c[0] for c in CASES])
+def test_throughput_threshold(name, extra, threshold):
     out = subprocess.run(
-        [sys.executable, "bench.py", "--backend", "onehot",
-         "--dtype", "bfloat16", "--iters", "3", "--warmup", "1"],
-        capture_output=True, text=True, timeout=3000)
+        [sys.executable, "bench.py", "--dtype", "bfloat16",
+         "--iters", "3", "--warmup", "1"] + extra,
+        capture_output=True, text=True, timeout=3600)
+    assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
-    # round-1 measured 72.5M edges/s on v5e
-    assert rec["value"] > 50e6, rec
+    assert rec["value"] > threshold, (name, rec)

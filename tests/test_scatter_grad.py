@@ -46,3 +46,52 @@ def test_aggregate_onehot_grad_matches_xla(rng, with_grad_layout, row_order):
     for a, r, name in zip(g_got, g_ref, ("dh", "dW", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_aggregate_grad_unpadded_da(rng):
+    """N not a 128-multiple: the forward output (and so the cotangent da)
+    has fewer rows than the layout's padded dst space — the db/spill
+    backward must pad da instead of raising a shape error (ADVICE r1).
+    Checked against an independent per-edge numpy oracle."""
+    from ggnn_tpu.ops.window_pallas import aggregate_window, build_window_layout
+
+    N, T2, D, E = 200, 4, 8, 600
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    typ = rng.integers(0, T2, E)
+    mask = (rng.random(E) < 0.9).astype(np.float32)
+    h = rng.standard_normal((N, D)).astype(np.float32)
+    W = (rng.standard_normal((T2, D, D)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal((T2, D)) * 0.1).astype(np.float32)
+    da = rng.standard_normal((N, D)).astype(np.float32)
+
+    dh_o = np.zeros((N, D))
+    dW_o = np.zeros((T2, D, D))
+    db_o = np.zeros((T2, D))
+    for e in range(E):
+        if mask[e] <= 0:
+            continue
+        u, v, t = src[e], dst[e], typ[e]
+        dh_o[u] += W[t] @ da[v]
+        dW_o[t] += np.outer(h[u], da[v])
+        db_o[t] += da[v]
+
+    n_pad = 256
+    lay = build_dst_block_layout(src, dst, typ, mask, n_pad, tile_e=128,
+                                 with_grad=True, n_message_types=T2,
+                                 n_src_rows=N).to_device()
+    wlay = build_window_layout(src, dst, typ, mask, n_pad, window=64,
+                               min_edges_per_tile=4, n_src_rows=N,
+                               n_message_types=T2, row_major="src",
+                               with_grad=True, force_spill=True,
+                               spill_tile_e=16)
+
+    for agg, layout in ((aggregate_onehot, lay), (aggregate_window, wlay)):
+        def loss(h, W, b):
+            return jnp.sum(agg(h, layout, W, b, interpret=True)[:N] * da)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(h, W, b)
+        for got, want, name in zip(g, (dh_o, dW_o, db_o),
+                                   ("dh", "dW", "db")):
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                       atol=1e-4, err_msg=name)
