@@ -47,9 +47,11 @@ def gru_update(gru: dict, h: jax.Array, a: jax.Array,
     w_a, b_all, u_zr = fused
     mdt = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
     N, D = h.shape
-    if mdt is not None and N % 512 == 0 and D % 128 == 0:
-        # fused Pallas cell (ops/gru_pallas.py): one pass per 512-row
-        # block; the jnp cell below measured ~3× its HBM traffic
+    if mdt is not None and N % 128 == 0 and D % 128 == 0:
+        # fused Pallas cell (ops/gru_pallas.py): one pass per 128/256/512-
+        # row block; the jnp cell below measured ~3× its HBM traffic.
+        # 128-row support keeps the sharded halo train path on the kernel
+        # at any n_local % 128 == 0 (it silently fell back before)
         return _gru_core_pallas(mdt, w_a, b_all, u_zr, gru["uh"], h, a)
     return _gru_core(mdt, w_a, b_all, u_zr, gru["uh"], h, a)
 

@@ -25,7 +25,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 512
+BLOCK = 512  # preferred rows per grid program; smaller N uses 256/128
+
+
+def pick_block(n: int) -> int:
+    """Largest supported block dividing N (512 amortizes the weight loads
+    best; 128 is the MXU minimum).  Returns 0 when N is not 128-aligned —
+    callers then fall back to the jnp cell."""
+    for b in (512, 256, 128):
+        if n % b == 0:
+            return b
+    return 0
 
 
 def _fwd_kernel(h_ref, a_ref, wa_ref, ball_ref, uzr_ref, uh_ref,
@@ -114,12 +124,15 @@ def _bwd_kernel(g_ref, h_ref, a_ref, z_ref, r_ref, ht_ref, wat_ref,
 def gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt: str = "bfloat16",
                  interpret: bool = False):
     """One fused pass: returns (h_new f32, z, r, h̃) with the residual
-    gates in ``mdt``.  N must be a multiple of 512; D a multiple of
-    128."""
+    gates in ``mdt``.  N must be a multiple of 128 (block size picked by
+    :func:`pick_block`); D a multiple of 128."""
     N, D = h.shape
-    n_blocks = N // BLOCK
+    block = pick_block(N)
+    if not block:
+        raise ValueError(f"gru_cell_fwd needs N % 128 == 0, got {N}")
+    n_blocks = N // block
     rdt = jnp.dtype(mdt)
-    row = lambda cols: pl.BlockSpec((BLOCK, cols), lambda i: (i, 0))
+    row = lambda cols: pl.BlockSpec((block, cols), lambda i: (i, 0))
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, mdt=rdt),
@@ -142,9 +155,12 @@ def gru_cell_bwd(g, h, a, z, r, htil, w_a, u_zr, uh,
     """Fused backward: returns (dh, da, dW_a, db, dU_zr, dU_h); parameter
     grads accumulate in VMEM f32 across the sequential grid."""
     N, D = h.shape
-    n_blocks = N // BLOCK
+    block = pick_block(N)
+    if not block:
+        raise ValueError(f"gru_cell_bwd needs N % 128 == 0, got {N}")
+    n_blocks = N // block
     rdt = jnp.dtype(mdt)
-    row = lambda cols: pl.BlockSpec((BLOCK, cols), lambda i: (i, 0))
+    row = lambda cols: pl.BlockSpec((block, cols), lambda i: (i, 0))
     full = lambda rr, c: pl.BlockSpec((rr, c), lambda i: (0, 0))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, mdt=rdt),

@@ -55,10 +55,39 @@ def test_gru_pallas_grad_parity(setup):
                                    rtol=5e-2, atol=5e-3)
 
 
-def test_gru_small_n_falls_back(setup):
-    """N not a multiple of 512 uses the jnp cell — same answer."""
+@pytest.mark.parametrize("n", [128, 384, 768])
+def test_gru_pallas_small_blocks(setup, n):
+    """N % 128 == 0 but not % 512: the kernel runs with 128/256-row
+    blocks (the sharded halo train path's shard sizes) — fwd AND grad
+    parity with the jnp cell."""
     gru, h, a = setup
-    h, a = h[:384], a[:384]
+    h, a = h[:n], a[:n]
+    w_a, b_all, u_zr = fuse_gru(gru)
+    ref = _gru_core("bfloat16", w_a, b_all, u_zr, gru["uh"], h, a)
+    got = gru_update(gru, h, a, matmul_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_ref(gru):
+        return jnp.sum(_gru_core("bfloat16", *fuse_gru(gru), gru["uh"],
+                                 h, a) ** 2)
+
+    def loss_pal(gru):
+        return jnp.sum(gru_update(gru, h, a, matmul_dtype=jnp.bfloat16) ** 2)
+
+    flat_r, _ = jax.tree_util.tree_flatten(jax.grad(loss_ref)(gru))
+    flat_p, _ = jax.tree_util.tree_flatten(jax.grad(loss_pal)(gru))
+    for pr, pp in zip(flat_r, flat_p):
+        scale = np.max(np.abs(np.asarray(pr))) + 1e-6
+        np.testing.assert_allclose(np.asarray(pp) / scale,
+                                   np.asarray(pr) / scale,
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_gru_unaligned_n_falls_back(setup):
+    """N not a multiple of 128 uses the jnp cell — same answer."""
+    gru, h, a = setup
+    h, a = h[:200], a[:200]
     got = gru_update(gru, h, a, matmul_dtype=jnp.bfloat16)
     w_a, b_all, u_zr = fuse_gru(gru)
     ref = _gru_core("bfloat16", w_a, b_all, u_zr, gru["uh"], h, a)
