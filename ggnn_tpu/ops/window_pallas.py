@@ -118,7 +118,12 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         force_spill: bool = False,
                         block_rows: int = BLOCK_N,
                         pack_counts: bool = False,
-                        use_native: bool | None = None) -> DeviceWindowLayout:
+                        use_native: bool | None = None,
+                        gt_pad_tiles_to: int | None = None,
+                        spill_bwd_bucket: int | None = None,
+                        spill_bwd_tile_e: int | None = None,
+                        spill_bwd_pad_tiles_to: int | None = None
+                        ) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -152,7 +157,16 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
     Multigraph pairs repeating >15× spill to the per-edge path (vs >127
     unpacked); needs ``window ≥ 256`` (the packed row must still fill the
     128-lane tile), and the transposed backward stream packs only when
-    ``block_rows ≥ 256``."""
+    ``block_rows ≥ 256``.
+
+    The ``gt_pad_tiles_to`` / ``spill_bwd_bucket`` / ``spill_bwd_tile_e`` /
+    ``spill_bwd_pad_tiles_to`` pins make the BACKWARD (with_grad) array
+    shapes and static meta topology-independent, so per-shard grad layouts
+    can be np.stack'd to one common shape for shard_map training
+    (parallel/partition.build_halo_window_layouts): transposed tiles pad
+    to ``gt_pad_tiles_to`` (dummies on the last window), spill-backward
+    buckets to a uniform ``spill_bwd_bucket`` per type, and the dh scatter
+    layout to a fixed tile size / tile budget."""
     if block_rows % BLOCK_N:
         raise ValueError(f"block_rows must be a multiple of {BLOCK_N}")
     if n_nodes_pad % block_rows:
@@ -370,7 +384,32 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                                dst[keep] - block[keep] * block_rows), 1)
                 if pack_bwd:
                     ct = _pack_nibbles(ct)
+            if gt_pad_tiles_to is not None:
+                # static-shape stream bound (real tiles ≤ total tiles);
+                # padding rows are never DMA'd (dummies issue no copy)
+                want = gt_pad_tiles_to * window
+                if ct.shape[0] < want:
+                    ct = np.concatenate(
+                        [ct, np.zeros((want - ct.shape[0], ct.shape[1]),
+                                      np.int8)])
             arrays["ct_stream"] = jnp.asarray(ct)
+        if gt_pad_tiles_to is not None:
+            extra = gt_pad_tiles_to - n_gt
+            if extra < 0:
+                raise ValueError(
+                    f"gt_pad_tiles_to={gt_pad_tiles_to} < required {n_gt}")
+            if extra:
+                # no-op dummy tiles appended to the LAST window: win < 0
+                # issues no DMA/matmul; they are never a window's first
+                # tile, so the zero-init logic is untouched
+                gt_block = np.concatenate(
+                    [gt_block, np.full(extra, n_wins - 1, np.int32)])
+                gt_win = np.concatenate(
+                    [gt_win, np.full(extra, -1, np.int32)])
+                gt_c_off = np.concatenate(
+                    [gt_c_off, np.zeros(extra, np.int32)])
+                gt_start[-1] += extra
+                n_gt = gt_pad_tiles_to
         arrays.update(gt_tile_start=jnp.asarray(gt_start),
                       gt_block_of_tile=jnp.asarray(gt_block),
                       gt_win_of_tile=jnp.asarray(gt_win),
@@ -412,12 +451,20 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             n_sp = sp_t.shape[0]
             # per-type padded buckets with STATIC offsets; UNIFORM bucket
             # size when the type distribution allows it (the backward then
-            # reshapes [T2, P, D] and runs two batched einsums)
+            # reshapes [T2, P, D] and runs two batched einsums).
+            # spill_bwd_bucket pins the uniform size (per-shard stacking)
             cnt = np.bincount(sp_t, minlength=t2)
-            padded = np.maximum(-(-cnt // 8) * 8, 8)
-            pmax = int(padded.max())
-            if t2 * pmax <= max(2 * int(padded.sum()), 4096):
-                padded = np.full(t2, pmax, np.int64)
+            if spill_bwd_bucket is not None:
+                if int(cnt.max(initial=0)) > spill_bwd_bucket:
+                    raise ValueError(
+                        f"spill_bwd_bucket={spill_bwd_bucket} < max "
+                        f"per-type spill count {int(cnt.max())}")
+                padded = np.full(t2, spill_bwd_bucket, np.int64)
+            else:
+                padded = np.maximum(-(-cnt // 8) * 8, 8)
+                pmax = int(padded.max())
+                if t2 * pmax <= max(2 * int(padded.sum()), 4096):
+                    padded = np.full(t2, pmax, np.int64)
             offs = np.zeros(t2 + 1, np.int64)
             np.cumsum(padded, out=offs[1:])
             tot = int(offs[-1])
@@ -435,18 +482,22 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                 # one-hot MXU layout scattering the per-edge dh rows into
                 # dh[u]: "edges" are the bucket slots, "dst" the source
                 # node; padding slots carry mask 0 and vanish from the pack
-                ublk = np.bincount((sp_u // BLOCK_N).astype(np.int64),
-                                   minlength=n_src_rows // BLOCK_N)
-                med = int(np.median(ublk)) if n_sp else 0
-                sb_tile = 128
-                while sb_tile < min(med, 2048):
-                    sb_tile *= 2
+                if spill_bwd_tile_e is not None:
+                    sb_tile = spill_bwd_tile_e
+                else:
+                    ublk = np.bincount((sp_u // BLOCK_N).astype(np.int64),
+                                       minlength=n_src_rows // BLOCK_N)
+                    med = int(np.median(ublk)) if n_sp else 0
+                    sb_tile = 128
+                    while sb_tile < min(med, 2048):
+                        sb_tile *= 2
                 mask = np.zeros(tot, np.float32)
                 mask[slot] = 1.0
                 sb = build_dst_block_layout(
                     np.arange(tot, dtype=np.int64), e_src,
                     np.zeros(tot, np.int64), mask, n_src_rows,
                     tile_e=sb_tile, n_src_rows=tot,
+                    pad_tiles_to=spill_bwd_pad_tiles_to,
                     edge_align=(16 if sb_tile % 16 == 0 else None))
                 sb_dev = sb.to_device()
                 for k, v in sb_dev.arrays.items():

@@ -18,14 +18,21 @@ exchange bytes):
   overlap the all-to-all with the type-transform matmuls because they are
   dataflow-independent.
 - ``halo_onehot`` — the halo plan plus per-shard one-hot MXU scatter
-  kernels (the production large-graph path; ``n_local % 128 == 0``).
+  kernels (the production large-graph path; ``n_local % 128 == 0``),
+  via :func:`ggnn_tpu.ops.scatter_pallas.aggregate_onehot` — trainable
+  when the stacked layouts were built ``with_grad=True``.
 - ``halo_window`` — the halo_overlap local/remote split with the
   intra-shard edges aggregated by the block-CSR windowed kernel
   (ops/window_pallas.py): community-partitioned shards do their local
   work with NO per-edge random access, and the all-to-all overlaps it.
+  Trainable when the stacked layouts were built ``with_grad=True``.
 
 The T-step recurrence stays a single ``lax.scan`` inside one ``shard_map``
-— node states never leave their shard; only halo states move.
+— node states never leave their shard; only halo states move.  Training
+runs ``value_and_grad`` straight through the shard_map: XLA transposes
+the collectives (the all-to-all's backward is the reverse all-to-all over
+the same static plan), and the kernel strategies' custom VJPs run
+per-shard on their stacked grad layouts.
 """
 
 from __future__ import annotations
@@ -42,11 +49,40 @@ from ggnn_tpu.models.ggnn import fuse_gru, gru_update, init_state
 from ggnn_tpu.ops.segment import typed_aggregate
 from ggnn_tpu.parallel.partition import PartitionedBatch
 
+STRATEGIES = ("halo", "all_gather", "halo_onehot", "halo_overlap",
+              "halo_window")
+
+
+def _resolve_layouts(strategy, parts, cfg, halo_layouts, scatter_tile_e):
+    """Returns (lay_arrays, lay_meta); builds host-side when missing."""
+    lay_arrays, lay_meta = halo_layouts if halo_layouts else (None, None)
+    if lay_arrays is not None or strategy not in ("halo_onehot",
+                                                  "halo_window"):
+        return lay_arrays, lay_meta
+    # host-side build — only possible outside jit; under jit, precompute
+    # with build_halo_scatter_layouts / build_halo_window_layouts and pass
+    # both the parts pytree and halo_layouts through the jitted function's
+    # arguments
+    if isinstance(parts.edge_src_global, jax.core.Tracer):
+        raise ValueError(
+            f"{strategy} under jit needs precomputed halo_layouts passed "
+            "through the jitted function's arguments")
+    if strategy == "halo_onehot":
+        from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
+        return build_halo_scatter_layouts(parts, tile_e=scatter_tile_e)
+    from ggnn_tpu.parallel.partition import build_halo_window_layouts
+    # the model's message-type count, NOT the max observed type: the
+    # table stride is msg_w.shape[0] — inferring from the batch silently
+    # mis-addresses every window row when the top type is absent
+    return build_halo_window_layouts(
+        parts, n_message_types=cfg.n_message_types)
+
 
 def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                       parts: PartitionedBatch, strategy: str = "halo",
                       axis_name: str = "graph", scatter_tile_e: int = 512,
-                      interpret: bool | None = None, halo_layouts=None):
+                      interpret: bool | None = None, halo_layouts=None,
+                      node_fn=None, node_fn_args=()):
     """Run T sharded propagation steps; returns h sharded as [n_pad, D].
 
     ``parts`` arrays cross into shard_map with their leading [P] axis
@@ -55,9 +91,18 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     - ``all_gather`` / ``halo``: XLA typed aggregation per shard.
     - ``halo_onehot``: halo all-to-all + per-shard one-hot MXU scatter
       kernels (ops/scatter_pallas.py) — the production large-graph path;
-      needs ``n_local % 128 == 0``."""
-    if strategy not in ("halo", "all_gather", "halo_onehot", "halo_overlap",
-                        "halo_window"):
+      needs ``n_local % 128 == 0``.
+    - ``halo_window``: block-CSR windowed local aggregation + typed halo
+      remote aggregation.
+
+    ``node_fn(h_local, ann_local, node_graph_local, node_mask_local,
+    node_fn_args, axis_name) -> pytree`` optionally post-processes the
+    final per-shard states INSIDE the shard_map (e.g. a readout head with
+    cross-shard collectives — see :func:`sharded_node_select_loss`); its
+    output replaces h (every leaf gains a leading per-shard axis).
+    ``node_fn_args`` is an arbitrary replicated pytree (head params,
+    targets)."""
+    if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy in ("halo_overlap", "halo_window") \
             and parts.local_edges is None:
@@ -71,43 +116,24 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     n_local = parts.n_local
     H = parts.halo_size
 
-    lay_arrays, lay_meta = halo_layouts if halo_layouts else (None, None)
-    if strategy == "halo_onehot":
-        from ggnn_tpu.ops.scatter_pallas import (
-            onehot_segment_scatter_flat)
-        if lay_arrays is None:
-            # host-side build — only possible outside jit; under jit,
-            # precompute with build_halo_scatter_layouts and pass both the
-            # parts pytree and halo_layouts through the jitted function's
-            # arguments
-            from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
-            lay_arrays, lay_meta = build_halo_scatter_layouts(
-                parts, tile_e=scatter_tile_e)
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-    if strategy == "halo_window":
-        if lay_arrays is None:
-            from ggnn_tpu.parallel.partition import build_halo_window_layouts
-            # the model's message-type count, NOT the max observed type:
-            # the table stride is msg_w.shape[0] — inferring from the batch
-            # silently mis-addresses every window row when the top type is
-            # absent
-            lay_arrays, lay_meta = build_halo_window_layouts(
-                parts, n_message_types=cfg.n_message_types)
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+    lay_arrays, lay_meta = _resolve_layouts(strategy, parts, cfg,
+                                            halo_layouts, scatter_tile_e)
+    if interpret is None and strategy in ("halo_onehot", "halo_window"):
+        interpret = jax.default_backend() != "tpu"
 
-    def body(prop, ann, src_g, src_h, dst_l, etype, emask, send_idx,
-             gidx, onehot, tstart, btile, loc, rem, warr):
+    def body(prop, ann, ngraph, nmask, src_g, src_h, dst_l, etype, emask,
+             send_idx, loc, rem, karr, nfa):
         # shapes inside: ann [1, n_local, A], edges [1, E_l],
         # send_idx [1, P, H] (this shard's owner-row of the send plan)
         ann = ann[0]
+        ngraph, nmask = ngraph[0], nmask[0]
         src_g, src_h = src_g[0], src_h[0]
         dst_l, etype, emask = dst_l[0], etype[0], emask[0]
         send_idx = send_idx[0]
         fused = fuse_gru(prop["gru"])
         h0 = init_state(ann, cfg.state_dim)
         cdt = jnp.dtype(cfg.compute_dtype)
+        karr_l = {k: v[0] for k, v in karr.items()}
 
         def exchange(h_local):
             # halo states travel in the compute dtype (bf16 halves ICI/DCN
@@ -139,8 +165,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                 from ggnn_tpu.ops.window_pallas import (DeviceWindowLayout,
                                                         aggregate_window)
                 wlay = DeviceWindowLayout(
-                    meta=lay_meta["full_meta"],
-                    arrays={k: v[0] for k, v in warr.items()})
+                    meta=lay_meta["full_meta"], arrays=karr_l)
                 a_loc = aggregate_window(
                     h_local.astype(cdt), wlay, prop["msg_w"].astype(cdt),
                     prop["msg_b"].astype(cdt), interpret=interpret)
@@ -148,7 +173,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                     h_src_pool, rem["src"][0], rem["dst"][0], rem["type"][0],
                     rem["mask"][0], prop["msg_w"], prop["msg_b"],
                     strategy=cfg.agg_strategy)[:n_local]
-                a = a_loc + a_rem
+                a = a_loc[:n_local] + a_rem
             elif strategy == "halo_overlap":
                 # SURVEY.md §5.7: local-edge aggregation reads h_local only
                 # — no dependency on the all-to-all, so XLA overlaps them
@@ -162,17 +187,16 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                     strategy=cfg.agg_strategy)[:n_local]
                 a = a_loc + a_rem
             elif strategy == "halo_onehot":
-                table = jnp.einsum(
-                    "nd,tdf->tnf", h_src_pool,
-                    prop["msg_w"].astype(cdt),
-                    preferred_element_type=jnp.float32) \
-                    + prop["msg_b"][:, None, :]
-                msgs = table.reshape(-1, h_local.shape[-1]).astype(
-                    cdt)[gidx[0]]
-                a = onehot_segment_scatter_flat(
-                    msgs, onehot[0], tstart[0], btile[0],
-                    n_blocks=lay_meta["n_blocks"],
-                    tile_e=lay_meta["tile_e"],
+                # all edges (local via self-coordinates past P·H) through
+                # the one-hot MXU scatter; differentiable via the
+                # aggregate_onehot custom VJP when the layout carries grads
+                from ggnn_tpu.ops.scatter_pallas import (DeviceScatterLayout,
+                                                         aggregate_onehot)
+                slay = DeviceScatterLayout(
+                    meta=lay_meta["scatter_meta"], arrays=karr_l)
+                a = aggregate_onehot(
+                    h_src_pool, slay, prop["msg_w"].astype(cdt),
+                    prop["msg_b"].astype(cdt),
                     interpret=interpret)[:n_local]
             else:
                 a = typed_aggregate(
@@ -183,6 +207,9 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
             return h_new, None
 
         h_final, _ = jax.lax.scan(step, h0, None, length=cfg.n_steps)
+        if node_fn is not None:
+            out = node_fn(h_final, ann, ngraph, nmask, nfa, axis_name)
+            return jax.tree.map(lambda x: x[None], out)
         return h_final[None]  # restore leading shard axis
 
     shard = jax.shard_map(
@@ -190,20 +217,12 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         mesh=mesh,
         in_specs=(P(),                     # prop params replicated
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name), P(axis_name)),
+                  P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P()),                    # node_fn_args replicated
         out_specs=P(axis_name),
         check_vma=False,
     )
-    if strategy == "halo_onehot":
-        gidx = lay_arrays["gather_idx"]
-        oh = lay_arrays["onehot"]
-        ts = lay_arrays["tile_start"]
-        bt = lay_arrays["block_of_tile"]
-    else:
-        z = np.zeros((parts.n_shards, 1), np.int32)
-        gidx = oh = ts = bt = z
     zdict = {"src": np.zeros((parts.n_shards, 1), np.int32),
              "dst": np.zeros((parts.n_shards, 1), np.int32),
              "type": np.zeros((parts.n_shards, 1), np.int32),
@@ -211,52 +230,187 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     overlap = strategy in ("halo_overlap", "halo_window")
     loc = parts.local_edges if strategy == "halo_overlap" else zdict
     rem = parts.remote_edges if overlap else zdict
-    warr = lay_arrays if strategy == "halo_window" else {}
-    h = shard(prop, parts.annotations, parts.edge_src_global,
-              parts.edge_src_halo, parts.edge_dst_local, parts.edge_type,
-              parts.edge_mask, parts.halo_send_idx, gidx, oh, ts, bt,
-              loc, rem, warr)
-    return h.reshape(-1, cfg.state_dim)
+    karr = lay_arrays if strategy in ("halo_onehot", "halo_window") else {}
+    out = shard(prop, parts.annotations, parts.node_graph, parts.node_mask,
+                parts.edge_src_global, parts.edge_src_halo,
+                parts.edge_dst_local, parts.edge_type, parts.edge_mask,
+                parts.halo_send_idx, loc, rem, karr, node_fn_args)
+    if node_fn is not None:
+        return out
+    return out.reshape(-1, out.shape[-1])
 
 
 def make_sharded_train_step(cfg: ModelConfig, mesh, optimizer,
                             strategy: str = "halo_overlap",
-                            axis_name: str = "graph", loss_fn=None):
+                            axis_name: str = "graph", loss_fn=None,
+                            halo_meta=None):
     """Jitted SHARDED train step: value_and_grad straight through the
     ``shard_map`` (XLA transposes the collectives — the all-to-all's
     backward is the reverse all-to-all over the same static plan, so the
     exchange schedule of SURVEY.md §5.7 holds for gradients too), then a
     replicated optax update.
 
-    Differentiable strategies: ``all_gather`` / ``halo`` /
-    ``halo_overlap`` (pure-XLA per-shard aggregation; ``halo_overlap``
-    keeps the local/remote dataflow split, so the backward's reverse
-    all-to-all also overlaps the local VJP).  The kernel strategies
-    (``halo_onehot`` / ``halo_window``) are forward/serving paths — their
-    sharded backward needs per-shard grad layouts (future work).
+    All five strategies are differentiable.  The kernel strategies
+    (``halo_onehot`` / ``halo_window``) additionally need their stacked
+    per-shard layouts built ``with_grad=True``
+    (:func:`~ggnn_tpu.parallel.partition.build_halo_scatter_layouts` /
+    :func:`~ggnn_tpu.parallel.partition.build_halo_window_layouts`):
+    pass the static ``meta`` here and the array dict to each step call
+    (arrays must flow through jit ARGUMENTS — closure constants overflow
+    remote-compile payloads).
 
     ``loss_fn(h) -> scalar`` defaults to ``sum(h*h)`` (machinery/bench
-    proxy); pass a real head loss for task training.  Grad parity vs the
-    single-device path is pinned by tests/test_distributed.py."""
+    proxy); pass a real head loss for task training (see
+    :func:`make_sharded_task_train_step` for the full-model variant).
+    Grad parity vs the single-device path is pinned by
+    tests/test_distributed.py."""
     import optax
 
-    if strategy not in ("all_gather", "halo", "halo_overlap"):
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("halo_onehot", "halo_window") and halo_meta is None:
         raise ValueError(
-            f"strategy {strategy!r} is not differentiable end-to-end; use "
-            "all_gather | halo | halo_overlap")
+            f"strategy {strategy!r} needs halo_meta= from "
+            "build_halo_scatter_layouts/build_halo_window_layouts("
+            "with_grad=True); pass the arrays dict to each step call")
     if loss_fn is None:
         def loss_fn(h):
             return jnp.sum(h * h)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def train_step(prop, opt_state, parts):
+    def train_step(prop, opt_state, parts, halo_arrays=None):
+        layouts = ((halo_arrays, halo_meta)
+                   if halo_arrays is not None else None)
+
         def objective(p):
             h = sharded_propagate(p, cfg, mesh, parts, strategy=strategy,
-                                  axis_name=axis_name)
+                                  axis_name=axis_name, halo_layouts=layouts)
             return loss_fn(h)
 
         loss, grads = jax.value_and_grad(objective)(prop)
         updates, opt_state_new = optimizer.update(grads, opt_state, prop)
         return optax.apply_updates(prop, updates), opt_state_new, loss
+
+    return train_step
+
+
+def sharded_node_select_loss(head: dict, h, ann, node_graph, node_mask,
+                             n_nodes, target_local, n_graphs: int,
+                             axis_name: str):
+    """Node-selection softmax-CE over PARTITIONED graphs, inside shard_map.
+
+    The softmax normalizes over each graph's nodes, which may span shards:
+    per-shard segment max/sum reduce across the mesh with ``pmax``/``psum``
+    (n_graphs+1 scalars each — negligible traffic).  The target's score is
+    read by its owning shard and psum'd.  Per-graph argmax (accuracy) uses
+    the same two-level reduction.  Returns (loss, correct_sum, count) —
+    identical replicated scalars on every shard.  Mirrors
+    :func:`ggnn_tpu.models.heads.node_select_loss` exactly (pinned by
+    tests/test_distributed.py)."""
+    from ggnn_tpu.models import heads as H
+
+    n_local = h.shape[0]
+    base = jax.lax.axis_index(axis_name) * n_local
+    scores = H.node_select_scores(head, h, ann)              # [n_local]
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(node_mask > 0, scores, neg)
+    seg = functools.partial(jax.ops.segment_sum, num_segments=n_graphs + 1)
+    # stop_gradient BEFORE the collective: the max-shift cancels out of
+    # the log-softmax exactly (standard stable formulation), and pmax has
+    # no JAX differentiation rule — it must never see a tangent
+    gmax = jax.lax.pmax(
+        jax.ops.segment_max(jax.lax.stop_gradient(masked), node_graph,
+                            num_segments=n_graphs + 1),
+        axis_name)                                           # [G+1]
+    # the exp argument must be finite even on padding rows (the padding
+    # segment's gmax is finfo.min, and exp(+3e38)=inf in the untaken
+    # where-branch poisons the backward with inf·0 = nan)
+    shift = jnp.where(node_mask > 0, scores - gmax[node_graph], 0.0)
+    ex = jnp.where(node_mask > 0, jnp.exp(shift), 0.0)
+    sumexp = jax.lax.psum(seg(ex, node_graph), axis_name)    # [G+1]
+
+    # target score: its owning shard contributes, others add zero
+    offs = H.node_offsets(n_nodes)
+    tgt_global = offs + target_local                         # [G]
+    in_shard = (tgt_global >= base) & (tgt_global < base + n_local)
+    tloc = jnp.clip(tgt_global - base, 0, n_local - 1)
+    t_score = jax.lax.psum(
+        jnp.where(in_shard, scores[tloc], 0.0), axis_name)   # [G]
+
+    graph_mask = (n_nodes > 0).astype(scores.dtype)
+    # padding graphs have sumexp 0 and gmax finfo.min — mask before the
+    # log, not after (-inf·0 = nan)
+    logp_t = jnp.where(graph_mask > 0,
+                       t_score - gmax[:n_graphs]
+                       - jnp.log(jnp.maximum(sumexp[:n_graphs], 1e-30)),
+                       0.0)
+    loss = jnp.sum(-logp_t * graph_mask) / jnp.maximum(
+        jnp.sum(graph_mask), 1.0)
+
+    # argmax accuracy: first global index achieving the per-graph max
+    idx = base + jnp.arange(n_local, dtype=jnp.int32)
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    is_max = (masked == gmax[node_graph]) & (node_mask > 0)
+    pred = jax.lax.pmin(
+        jax.ops.segment_min(jnp.where(is_max, idx, big), node_graph,
+                            num_segments=n_graphs + 1)[:n_graphs],
+        axis_name)
+    correct = (pred == tgt_global) & (n_nodes > 0)
+    return (loss, jnp.sum(correct.astype(jnp.float32)),
+            jnp.sum(graph_mask))
+
+
+def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
+                                 n_graphs: int,
+                                 strategy: str = "halo_overlap",
+                                 axis_name: str = "graph",
+                                 halo_meta=None):
+    """End-to-end SHARDED task training (SURVEY.md §7.1 L4): the full
+    param tree (propagation + head) trains against the node-selection
+    loss computed INSIDE the shard_map with cross-shard segment-softmax
+    collectives (:func:`sharded_node_select_loss`), so graphs may span
+    shards.  ``targets`` carries the batch's replicated per-graph arrays:
+    ``{"node": [G] local target ids, "n_nodes": [G]}``.
+
+    Returns ``train_step(params, opt_state, parts, targets,
+    halo_arrays=None) -> (params, opt_state, metrics)``; metrics are the
+    same (loss_sum, correct, count) sums the single-device
+    :func:`ggnn_tpu.train.loop.make_train_step` reports — curves match
+    (pinned by tests/test_distributed.py)."""
+    import optax
+
+    if cfg.head != "node_select":
+        raise ValueError(
+            "sharded task training currently implements the node_select "
+            f"head (got {cfg.head!r}); graph_gated needs one more "
+            "cross-shard segment-sum — same recipe")
+
+    def node_fn(h, ann, ngraph, nmask, nfa, ax):
+        loss, correct, count = sharded_node_select_loss(
+            nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
+            nfa["node"], n_graphs, ax)
+        return jnp.stack([loss, correct, count])
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def train_step(params, opt_state, parts, targets, halo_arrays=None):
+        layouts = ((halo_arrays, halo_meta)
+                   if halo_arrays is not None else None)
+
+        def objective(ps):
+            nfa = {"head": ps["head"], "node": targets["node"],
+                   "n_nodes": targets["n_nodes"]}
+            out = sharded_propagate(
+                ps["prop"], cfg, mesh, parts, strategy=strategy,
+                axis_name=axis_name, halo_layouts=layouts,
+                node_fn=node_fn, node_fn_args=nfa)
+            # every shard returned identical replicated scalars
+            return out[0, 0], (out[0, 1], out[0, 2])
+
+        (loss, (correct, count)), grads = jax.value_and_grad(
+            objective, has_aux=True)(params)
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        metrics = {"loss_sum": loss * count, "correct": correct,
+                   "count": count}
+        return optax.apply_updates(params, updates), opt_state_new, metrics
 
     return train_step

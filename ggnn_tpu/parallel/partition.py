@@ -233,57 +233,67 @@ def split_local_remote(parts: PartitionedBatch,
     return parts
 
 
-def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128):
+def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128,
+                               with_grad: bool = False,
+                               grad_tile_e: int = 128):
     """Per-shard one-hot scatter layouts for the 'halo_onehot' strategy
     (ops/scatter_pallas.py), stacked with a common static shape so they
     cross into shard_map on the 'graph' axis.
 
     Sources are halo coordinates (``owner·H + rank`` into the [P·H, D]
-    all-to-all receive buffer), destinations are the shard's n_local rows
-    (must be a multiple of 128).  Padding tiles carry all-zero one-hot
-    columns and point at the last block AFTER its real tiles, so they
-    accumulate nothing and never re-trigger the first-tile zero-init.
+    all-to-all receive buffer, plus ``P·H + i`` self-coordinates into
+    h_local), destinations are the shard's n_local rows (must be a
+    multiple of 128).  Tile counts are pinned to the static budget of the
+    partition's padded edge count, so every shard's arrays stack and the
+    jitted step compiles once.
 
-    Returns (stacked_arrays: dict of [P, ...] numpy arrays, meta: dict of
-    static ints)."""
-    from ggnn_tpu.ops.scatter_pallas import BLOCK_N, build_dst_block_layout
+    ``with_grad=True`` builds the transposed grad layouts too — the
+    sharded TRAINING path (aggregate_onehot's custom VJP then runs
+    per-shard inside shard_map; the reverse all-to-all follows XLA's
+    transpose of the exchange).
+
+    Returns (stacked_arrays: dict of [P, ...] numpy arrays, meta: dict
+    with the common static ``scatter_meta`` tuple)."""
+    from ggnn_tpu.ops.scatter_pallas import (BLOCK_N, _rup_block,
+                                             build_dst_block_layout,
+                                             static_tile_budget)
 
     P, n_local, H = parts.n_shards, parts.n_local, parts.halo_size
     if n_local % BLOCK_N:
         raise ValueError(
             f"halo_onehot needs n_local % {BLOCK_N} == 0, got {n_local}")
+    T2 = parts.type_offsets.shape[1] - 1
+    n_src = P * H + n_local
+    e_local = parts.edge_src_halo.shape[1]
+    budget = static_tile_budget(e_local, n_local, tile_e)
+    g_budget = (static_tile_budget(e_local, _rup_block(T2 * n_src),
+                                   grad_tile_e) if with_grad else None)
     lays = [
         build_dst_block_layout(
             parts.edge_src_halo[s], parts.edge_dst_local[s],
             parts.edge_type[s], parts.edge_mask[s], n_local,
-            tile_e=tile_e, n_src_rows=P * H + n_local, onehot_stream=True)
+            tile_e=tile_e, n_src_rows=n_src, onehot_stream=True,
+            with_grad=with_grad, n_message_types=T2,
+            pad_tiles_to=budget,
+            grad_tile_e=grad_tile_e if with_grad else None,
+            grad_pad_tiles_to=g_budget).to_device()
         for s in range(P)
     ]
-    n_tiles = max(l.block_of_tile.shape[0] for l in lays)
-    e_pack = n_tiles * tile_e
-    n_blocks = n_local // BLOCK_N
-
-    gather_idx = np.zeros((P, e_pack), np.int32)
-    onehot = np.zeros((P, n_tiles * BLOCK_N, tile_e), np.int8)
-    tile_start = np.zeros((P, n_blocks + 1), np.int32)
-    block_of_tile = np.full((P, n_tiles), n_blocks - 1, np.int32)
-    for s, l in enumerate(lays):
-        e = l.gather_idx.shape[0]
-        gather_idx[s, :e] = l.gather_idx
-        onehot[s, :l.onehot.shape[0]] = l.onehot
-        tile_start[s] = l.tile_start
-        block_of_tile[s, :l.block_of_tile.shape[0]] = l.block_of_tile
-    arrays = {"gather_idx": gather_idx, "onehot": onehot,
-              "tile_start": tile_start, "block_of_tile": block_of_tile}
-    meta = {"tile_e": tile_e, "n_blocks": n_blocks, "n_tiles": n_tiles,
-            "halo_rows": P * H + n_local}
+    metas = {l.meta for l in lays}
+    assert len(metas) == 1, f"per-shard metas diverged: {metas}"
+    arrays = {k: np.stack([np.asarray(l.arrays[k]) for l in lays])
+              for k in lays[0].arrays}
+    meta = {"scatter_meta": lays[0].meta, "tile_e": tile_e,
+            "n_blocks": n_local // BLOCK_N, "halo_rows": n_src}
     return arrays, meta
 
 
 def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
                               min_edges_per_tile: int = 32,
                               spill_tile_e: int = 512,
-                              n_message_types: int | None = None):
+                              n_message_types: int | None = None,
+                              with_grad: bool = False,
+                              row_major: str = "src"):
     """Per-shard WINDOWED layouts over the shard-LOCAL edges for the
     'halo_window' strategy: community-partitioned shards aggregate their
     intra-shard edges through the block-CSR windowed kernel
@@ -292,9 +302,18 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     the halo_overlap split, the local aggregation reads h_local only, so
     XLA overlaps it with the all-to-all.
 
+    ``with_grad=True`` additionally builds the transposed (backward)
+    layouts, with their tile counts, spill buckets, and dh-scatter packs
+    pinned to the per-partition maxima so they stack too — the sharded
+    TRAINING path (aggregate_window's custom VJP runs per shard inside
+    shard_map).  ``row_major='block'`` (needs nothing extra here —
+    n_local is already 128-aligned) selects the block-major table kernel
+    and, when ``(T2·128) % window == 0``, the fused backward that reads
+    the forward count stream.
+
     Returns (stacked_arrays: dict of [P, ...] arrays, meta: dict) — all
     shards padded to common static shapes (tile counts and spill packs)."""
-    from ggnn_tpu.ops.scatter_pallas import BLOCK_N
+    from ggnn_tpu.ops.scatter_pallas import BLOCK_N, static_tile_budget
     from ggnn_tpu.ops.window_pallas import build_window_layout
 
     if parts.local_edges is None:
@@ -308,13 +327,16 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
         n_message_types = int(max(
             int(parts.edge_type[s].max(initial=0)) for s in range(P))) + 1
 
-    def build(s, pad=None, spad=None):
+    def build(s, pad=None, spad=None, gt_pad=None, sb_bucket=None,
+              sb_tile=None, sb_pad=None):
         return build_window_layout(
             loc["src"][s], loc["dst"][s], loc["type"][s], loc["mask"][s],
             n_local, window=window, min_edges_per_tile=min_edges_per_tile,
             spill_tile_e=spill_tile_e, n_message_types=n_message_types,
-            row_major="src", pad_tiles_to=pad, spill_pad_tiles_to=spad,
-            force_spill=True)
+            row_major=row_major, pad_tiles_to=pad, spill_pad_tiles_to=spad,
+            force_spill=True, with_grad=with_grad,
+            gt_pad_tiles_to=gt_pad, spill_bwd_bucket=sb_bucket,
+            spill_bwd_tile_e=sb_tile, spill_bwd_pad_tiles_to=sb_pad)
 
     first = [build(s) for s in range(P)]
     n_tiles = max(l.n_tiles for l in first)
@@ -323,11 +345,24 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     # is not enough — the 16-aligned spill pack length is per-topology
     # unless spill_pad_tiles_to pins it (stacking ragged s_gather_idx
     # raised ValueError when shards spilled unevenly)
-    lays = [build(s, pad=n_tiles, spad=sp_tiles) for s in range(P)]
+    pins = {}
+    if with_grad:
+        pins["gt_pad"] = max(l.arrays["gt_block_of_tile"].shape[0]
+                             for l in first)
+        offs = [l.grad_meta[2] for l in first]
+        pins["sb_bucket"] = max(max(o[t + 1] - o[t] for t in range(len(o) - 1))
+                                for o in offs)
+        sb_metas = [l.grad_meta[3] for l in first]
+        if any(m is not None for m in sb_metas):
+            pins["sb_tile"] = max(m[1] for m in sb_metas if m is not None)
+            pins["sb_pad"] = static_tile_budget(
+                n_message_types * pins["sb_bucket"], n_local,
+                pins["sb_tile"])
+    lays = [build(s, pad=n_tiles, spad=sp_tiles, **pins) for s in range(P)]
+    metas = {l.meta for l in lays}
+    assert len(metas) == 1, f"per-shard window metas diverged: {metas}"
     arrays = {k: np.stack([np.asarray(l.arrays[k]) for l in lays])
               for k in lays[0].arrays}
-    # per-shard metas agree on everything the flat/mono kernels read
-    # (max_tiles may differ — unused); shard 0's meta is canonical
     meta = {"full_meta": lays[0].meta, "window": window,
             "n_tiles": n_tiles,
             "spill_frac": float(np.mean([l.stats["spill_frac"]

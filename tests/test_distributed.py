@@ -223,3 +223,142 @@ def test_sharded_train_step_grad_parity(rng):
     jax.tree.map(lambda a, c: np.testing.assert_allclose(
         np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
         new_prop, ref_prop)
+
+
+@pytest.mark.parametrize("strategy,row_major,window", [
+    ("halo_onehot", None, None),
+    ("halo_window", "src", 64),      # unfused backward (ct stream)
+    ("halo_window", "block", 128),   # fused backward (forward count stream)
+])
+def test_sharded_train_step_kernel_backends(rng, strategy, row_major, window):
+    """TRAINING through the kernel strategies: value_and_grad through the
+    shard_map with the per-shard one-hot / windowed custom VJPs running on
+    stacked with_grad layouts — loss and one optimizer step match the
+    single-device path (VERDICT r1 #1)."""
+    import optax
+
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel import make_sharded_train_step
+    from ggnn_tpu.parallel.partition import (build_halo_scatter_layouts,
+                                             build_halo_window_layouts,
+                                             split_local_remote)
+
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=7,
+                        node_mult=1024, n_communities=8, p_intra=0.7)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    prop = params["prop"]
+    parts = split_local_remote(partition_batch(b, 8))
+    if strategy == "halo_onehot":
+        arrays, meta = build_halo_scatter_layouts(parts, tile_e=16,
+                                                  with_grad=True,
+                                                  grad_tile_e=16)
+    else:
+        arrays, meta = build_halo_window_layouts(
+            parts, window=window, min_edges_per_tile=4, spill_tile_e=16,
+            n_message_types=cfg.n_message_types, with_grad=True,
+            row_major=row_major)
+
+    optimizer = optax.adam(1e-2)
+    opt0 = optimizer.init(prop)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(cfg, mesh, optimizer, strategy=strategy,
+                                   halo_meta=meta)
+    new_prop, _, loss_sh = step(prop, opt0, parts, arrays)
+
+    import jax.numpy as jnp
+
+    def loss_single(p):
+        h = propagate(p, cfg, jnp.asarray(b.annotations),
+                      jnp.asarray(b.edge_src), jnp.asarray(b.edge_dst),
+                      jnp.asarray(b.edge_type), jnp.asarray(b.edge_mask))
+        return jnp.sum(h * h)
+
+    loss_ref, g_ref = jax.value_and_grad(loss_single)(prop)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    upd_ref, _ = optimizer.update(g_ref, optimizer.init(prop), prop)
+    ref_prop = optax.apply_updates(prop, upd_ref)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
+        new_prop, ref_prop)
+
+
+@pytest.mark.parametrize("strategy", ["halo_overlap", "halo_window"])
+def test_sharded_task_training_matches_single_device(rng, strategy):
+    """END-TO-END sharded task training (real node-selection head + loss,
+    cross-shard segment softmax): the 3-step loss curve and final params
+    match the single-device train step (VERDICT r1 #2)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ggnn_tpu.parallel import make_sharded_task_train_step
+    from ggnn_tpu.parallel.partition import (build_halo_window_layouts,
+                                             split_local_remote)
+    from ggnn_tpu.train.loop import make_train_step
+
+    graphs, total = [], 0
+    while total < 1024 - 40:
+        n = int(rng.integers(20, 40))
+        m = int(rng.integers(10, 3 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann,
+                           targets={"node": np.asarray(
+                               int(rng.integers(0, n)), np.int32)}))
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=1024,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=3, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    n_graphs = spec.n_graphs
+
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3, head="node_select")
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    optimizer = optax.adam(1e-2)
+
+    # single-device reference curve (make_train_step donates its params
+    # buffers — keep a live copy for the sharded run)
+    p2 = jax.tree.map(jnp.array, params)
+    step1 = make_train_step(cfg, n_graphs, optimizer)
+    p1, o1 = params, optimizer.init(params)
+    ref_losses = []
+    for _ in range(3):
+        p1, o1, m = step1(p1, o1, jax.tree.map(jnp.asarray, b.arrays))
+        ref_losses.append(float(m["loss_sum"]) / float(m["count"]))
+
+    # sharded curve (8 shards; graphs SPAN shard boundaries)
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+    halo_arrays = halo_meta = None
+    if strategy == "halo_window":
+        halo_arrays, halo_meta = build_halo_window_layouts(
+            parts, window=64, min_edges_per_tile=4, spill_tile_e=16,
+            n_message_types=cfg.n_message_types, with_grad=True)
+    step2 = make_sharded_task_train_step(cfg, mesh, optimizer, n_graphs,
+                                         strategy=strategy,
+                                         halo_meta=halo_meta)
+    targets = {"node": jnp.asarray(b.arrays["targets"]["node"]),
+               "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+    o2 = optimizer.init(p2)
+    for i in range(3):
+        p2, o2, m2 = step2(p2, o2, parts, targets, halo_arrays)
+        got = float(m2["loss_sum"]) / float(m2["count"])
+        np.testing.assert_allclose(got, ref_losses[i], rtol=2e-4,
+                                   err_msg=f"step {i}")
+    # head.b2's ANALYTIC gradient is exactly zero (softmax shift
+    # invariance) — Adam amplifies each implementation's roundoff noise
+    # into lr-scale steps in arbitrary directions there; bound it by the
+    # step budget and compare every other leaf tightly
+    import jax.tree_util as jtu
+    for (kp, a), (_, c) in zip(jtu.tree_leaves_with_path(p2),
+                               jtu.tree_leaves_with_path(p1)):
+        if "b2" in jtu.keystr(kp):
+            assert np.max(np.abs(np.asarray(a) - np.asarray(c))) \
+                < 3 * 1e-2 * 3  # 3 steps of lr=1e-2 Adam
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=jtu.keystr(kp))
