@@ -86,6 +86,12 @@ def build_args():
     ap.add_argument("--legacy_pack", action="store_true",
                     help="backend=onehot: the table-gather layout instead "
                          "of the round-4 typed pack")
+    ap.add_argument("--legacy_spill", action="store_true",
+                    help="backend=window: table-gather spill instead of "
+                         "the typed pack (gather h directly, W_t in-kernel)")
+    ap.add_argument("--on_demand", action="store_true",
+                    help="backend=window: build table windows in VMEM from "
+                         "streamed h blocks (no [T2*N, D] table in HBM)")
     ap.add_argument("--chunks", type=int, default=1,
                     help="split onehot scatter into N dst-range chunks "
                          "(memory-bound configs, e.g. 1M nodes)")
@@ -131,13 +137,21 @@ def main() -> int:
         layout = None
         if backend == "window":
             from ggnn_tpu.ops.window_pallas import build_window_layout
+            do_pack = args.pack if pack is None else pack
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
                 n_message_types=2 * args.types,
                 block_rows=block_rows or args.block_rows,
                 with_grad=(args.mode == "train"),
-                pack_counts=args.pack if pack is None else pack,
+                pack_counts=do_pack,
+                # typed-pack spill (h gathered directly at the small-
+                # footprint rate, W_t applied in-kernel); q8 serving keeps
+                # the table spill (in-row dequant)
+                typed_spill=(not args.legacy_spill and not do_pack
+                             and not (args.q8 and fuse_gru)
+                             and batch.spec.n_pad % 128 == 0),
+                on_demand=args.on_demand,
                 row_major=("block" if batch.spec.n_pad % 128 == 0
                            else "src"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)

@@ -360,17 +360,45 @@ def sharded_node_select_loss(head: dict, h, ann, node_graph, node_mask,
             jnp.sum(graph_mask))
 
 
+def sharded_graph_gated_loss(head: dict, h, ann, node_graph, node_mask,
+                             n_nodes, target_cls, n_graphs: int,
+                             axis_name: str):
+    """Graph-level gated-readout classification over PARTITIONED graphs:
+    the σ·tanh gated pool is a per-shard segment-sum psum'd across the
+    mesh ([G, readout_dim] scalars); the classifier MLP and CE then run
+    replicated.  Mirrors heads.graph_gated_logits + graph_class_loss."""
+    from ggnn_tpu.models import heads as H
+
+    hx = jnp.concatenate([h, ann], axis=1)
+    gate = jax.nn.sigmoid(
+        jnp.dot(hx, head["gi_w"], preferred_element_type=jnp.float32)
+        + head["gi_b"])
+    val = jnp.tanh(
+        jnp.dot(hx, head["gj_w"], preferred_element_type=jnp.float32)
+        + head["gj_b"])
+    pooled = jax.lax.psum(
+        jax.ops.segment_sum(gate * val * node_mask[:, None], node_graph,
+                            num_segments=n_graphs + 1)[:n_graphs],
+        axis_name)
+    logits = H._mlp2(head, pooled, "c1", "c1b", "c2", "c2b")
+    loss, correct, graph_mask = H.graph_class_loss(logits, target_cls,
+                                                   n_nodes)
+    return (loss, jnp.sum(correct.astype(jnp.float32)),
+            jnp.sum(graph_mask))
+
+
 def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
                                  n_graphs: int,
                                  strategy: str = "halo_overlap",
                                  axis_name: str = "graph",
                                  halo_meta=None):
     """End-to-end SHARDED task training (SURVEY.md §7.1 L4): the full
-    param tree (propagation + head) trains against the node-selection
-    loss computed INSIDE the shard_map with cross-shard segment-softmax
-    collectives (:func:`sharded_node_select_loss`), so graphs may span
-    shards.  ``targets`` carries the batch's replicated per-graph arrays:
-    ``{"node": [G] local target ids, "n_nodes": [G]}``.
+    param tree (propagation + head) trains against a real task loss
+    computed INSIDE the shard_map with cross-shard collectives
+    (:func:`sharded_node_select_loss` / :func:`sharded_graph_gated_loss`),
+    so graphs may span shards.  ``targets`` carries the batch's replicated
+    per-graph arrays: ``{"n_nodes": [G]}`` plus ``"node"`` (node_select
+    local target ids) or ``"cls"`` (graph_gated class ids).
 
     Returns ``train_step(params, opt_state, parts, targets,
     halo_arrays=None) -> (params, opt_state, metrics)``; metrics are the
@@ -379,16 +407,20 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
     (pinned by tests/test_distributed.py)."""
     import optax
 
-    if cfg.head != "node_select":
+    if cfg.head not in ("node_select", "graph_gated"):
         raise ValueError(
-            "sharded task training currently implements the node_select "
-            f"head (got {cfg.head!r}); graph_gated needs one more "
-            "cross-shard segment-sum — same recipe")
+            "sharded task training implements the node_select and "
+            f"graph_gated heads (got {cfg.head!r})")
 
     def node_fn(h, ann, ngraph, nmask, nfa, ax):
-        loss, correct, count = sharded_node_select_loss(
-            nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
-            nfa["node"], n_graphs, ax)
+        if cfg.head == "graph_gated":
+            loss, correct, count = sharded_graph_gated_loss(
+                nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
+                nfa["cls"], n_graphs, ax)
+        else:
+            loss, correct, count = sharded_node_select_loss(
+                nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
+                nfa["node"], n_graphs, ax)
         return jnp.stack([loss, correct, count])
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -397,8 +429,9 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
                    if halo_arrays is not None else None)
 
         def objective(ps):
-            nfa = {"head": ps["head"], "node": targets["node"],
-                   "n_nodes": targets["n_nodes"]}
+            nfa = {"head": ps["head"], "n_nodes": targets["n_nodes"],
+                   **{k: v for k, v in targets.items()
+                      if k in ("node", "cls")}}
             out = sharded_propagate(
                 ps["prop"], cfg, mesh, parts, strategy=strategy,
                 axis_name=axis_name, halo_layouts=layouts,

@@ -362,3 +362,56 @@ def test_sharded_task_training_matches_single_device(rng, strategy):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-3, atol=2e-4,
                                    err_msg=jtu.keystr(kp))
+
+
+def test_sharded_graph_gated_training_matches_single_device(rng):
+    """Sharded graph_gated head: the σ·tanh gated pool psums across
+    shards; 3-step loss curve matches the single-device train step."""
+    import jax.numpy as jnp
+    import optax
+
+    from ggnn_tpu.parallel import make_sharded_task_train_step
+    from ggnn_tpu.parallel.partition import split_local_remote
+    from ggnn_tpu.train.loop import make_train_step
+
+    graphs, total = [], 0
+    while total < 256 - 24:
+        n = int(rng.integers(10, 20))
+        m = int(rng.integers(8, 3 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann,
+                           targets={"cls": np.asarray(
+                               int(rng.integers(0, 3)), np.int32)}))
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=256,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=3, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    n_graphs = spec.n_graphs
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3, head="graph_gated", n_classes=3)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    optimizer = optax.adam(1e-2)
+
+    p2 = jax.tree.map(jnp.array, params)
+    step1 = make_train_step(cfg, n_graphs, optimizer)
+    p1, o1 = params, optimizer.init(params)
+    ref_losses = []
+    for _ in range(3):
+        p1, o1, m = step1(p1, o1, jax.tree.map(jnp.asarray, b.arrays))
+        ref_losses.append(float(m["loss_sum"]) / float(m["count"]))
+
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+    step2 = make_sharded_task_train_step(cfg, mesh, optimizer, n_graphs,
+                                         strategy="halo_overlap")
+    targets = {"cls": jnp.asarray(b.arrays["targets"]["cls"]),
+               "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+    o2 = optimizer.init(p2)
+    for i in range(3):
+        p2, o2, m2 = step2(p2, o2, parts, targets)
+        got = float(m2["loss_sum"]) / float(m2["count"])
+        np.testing.assert_allclose(got, ref_losses[i], rtol=2e-4,
+                                   err_msg=f"step {i}")

@@ -502,3 +502,116 @@ def test_window_layout_degenerate(rng):
                            params["prop"]["msg_b"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("min_edges", [1, 4, 10_000])
+@pytest.mark.parametrize("row_major", ["block", "src"])
+def test_window_typed_spill_parity(rng, min_edges, row_major):
+    """typed_spill=True: the spill gathers h directly and applies W_t in
+    the scatter kernel (small-footprint gather, VERDICT r1 #4) — forward,
+    grads, and the fused-GRU serving step all match the XLA path across
+    none/mixed/full spill regimes."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+
+    N, E, T2, D = 256, 600, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=64,
+                              min_edges_per_tile=min_edges, spill_tile_e=16,
+                              n_message_types=T2, row_major=row_major,
+                              with_grad=True, force_spill=True,
+                              typed_spill=True)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    W, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+    def loss_ref(h, W, b):
+        a = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(typ), jnp.asarray(mask), W, b)
+        return jnp.sum((a - tgt) ** 2)
+
+    def loss_win(h, W, b):
+        a = aggregate_window(h, lay, W, b, interpret=True)
+        return jnp.sum((a - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(h, W, b)
+    v_got, g_got = jax.value_and_grad(loss_win, argnums=(0, 1, 2))(h, W, b)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for a, r, name in zip(g_got, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+    # fused-GRU serving step rides the typed spill init
+    gru = params["prop"]["gru"]
+    a_ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(typ), jnp.asarray(mask), W, b)
+    ref_h = gru_update(gru, h, a_ref)
+    got_h = gru_window_step(h, lay, W, b, gru, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("min_edges,window", [(1, 128), (4, 256),
+                                              (10_000, 128)])
+def test_window_on_demand_parity(rng, min_edges, window):
+    """on_demand=True: table windows built in VMEM from streamed h blocks
+    (no [T2·N, D] table in HBM — VERDICT r1 #3); forward + grads match the
+    XLA path across none/mixed/full spill regimes."""
+    N, E, T2, D = 256, 600, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=window,
+                              min_edges_per_tile=min_edges, spill_tile_e=16,
+                              n_message_types=T2, row_major="block",
+                              with_grad=True, force_spill=True,
+                              typed_spill=True, on_demand=True)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    W, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+    def loss_ref(h, W, b):
+        a = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(typ), jnp.asarray(mask), W, b)
+        return jnp.sum((a - tgt) ** 2)
+
+    def loss_win(h, W, b):
+        a = aggregate_window(h, lay, W, b, interpret=True)
+        return jnp.sum((a - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(h, W, b)
+    v_got, g_got = jax.value_and_grad(loss_win, argnums=(0, 1, 2))(h, W, b)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for a, r, name in zip(g_got, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("window,block_rows", [(128, 128), (512, 256)])
+def test_window_on_demand_fused_gru(rng, window, block_rows):
+    """gru_window_step on an on_demand layout: the fused kernel builds
+    table windows in VMEM AND runs the GRU epilogue — matches the
+    XLA aggregation + GRU cell."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+
+    N, E, T2, D = 256, 600, 8, 128
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=window,
+                              min_edges_per_tile=2, spill_tile_e=16,
+                              n_message_types=T2, row_major="block",
+                              force_spill=True, typed_spill=True,
+                              on_demand=True, block_rows=block_rows)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    W, b = params["prop"]["msg_w"], params["prop"]["msg_b"]
+    gru = params["prop"]["gru"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    a_ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(typ), jnp.asarray(mask), W, b)
+    ref_h = gru_update(gru, h, a_ref)
+    got = gru_window_step(h, lay, W, b, gru, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_h),
+                               rtol=5e-4, atol=5e-4)
