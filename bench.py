@@ -87,8 +87,12 @@ def build_args():
                     help="backend=onehot: the table-gather layout instead "
                          "of the round-4 typed pack")
     ap.add_argument("--legacy_spill", action="store_true",
-                    help="backend=window: table-gather spill instead of "
-                         "the typed pack (gather h directly, W_t in-kernel)")
+                    help="deprecated no-op: table mode defaults to the "
+                         "table-gather spill (see --xw_spill)")
+    ap.add_argument("--xw_spill", action="store_true",
+                    help="backend=window with a table: use the XW spill "
+                         "anyway (gather h directly, type-major transform "
+                         "buckets; always on for --on_demand)")
     ap.add_argument("--on_demand", action="store_true",
                     help="backend=window: build table windows in VMEM from "
                          "streamed h blocks (no [T2*N, D] table in HBM)")
@@ -145,10 +149,13 @@ def main() -> int:
                 block_rows=block_rows or args.block_rows,
                 with_grad=(args.mode == "train"),
                 pack_counts=do_pack,
-                # typed-pack spill (h gathered directly at the small-
-                # footprint rate, W_t applied in-kernel); q8 serving keeps
-                # the table spill (in-row dequant)
-                typed_spill=(not args.legacy_spill and not do_pack
+                # XW (no-table) spill: required by on_demand; opt-in with
+                # a table via --xw_spill (the round-4 per-(block,type)
+                # typed spill fragmented — measured 407.9M vs 755.7M on
+                # the community headline — so table mode defaults to the
+                # legacy table-gather spill)
+                typed_spill=((args.on_demand or args.xw_spill)
+                             and not do_pack
                              and not (args.q8 and fuse_gru)
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=args.on_demand,

@@ -263,26 +263,67 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
 
     # spill: low-occupancy tiles go to the per-edge one-hot path
     spill = None
+    xw_state = None
     spill_frac = 1.0 - (float(keep.sum()) / max(n_edges, 1))
     if typed_spill and ((~keep).any() or force_spill):
-        # TYPED spill (round-4 typed pack, VERDICT r1 #4): gather h [N, D]
-        # directly — the per-row gather engine is ~3.5× faster on the
-        # small footprint than on the [T2·N, D] table — and apply W_t
-        # inside the scatter kernel on single-type tiles; the bias rides
-        # the per-type spill in-degree einsum.  Forward arrays only (the
-        # window grad machinery below handles the backward).
-        if spill_pad_tiles_to is not None:
-            raise ValueError(
-                "typed_spill has no static tile budget yet — static-shape "
-                "serving keeps the table-gather spill")
+        # XW (no-table) spill, VERDICT r1 #4: gather h [N, D] directly —
+        # the per-row gather engine is ~3.5× faster on the small footprint
+        # than on the [T2·N, D] table — transform in TYPE-MAJOR static
+        # buckets (one batched einsum + bias; same structure the spill
+        # BACKWARD already uses), then ride the ordinary block-level
+        # one-hot scatter with ``s_gather_idx`` pointing into the
+        # transformed pack (the gather doubles as the permutation into
+        # scatter order).  This replaces the round-4 per-(block, type)
+        # typed tiles, which FRAGMENT at spill occupancy: T2× more tiles
+        # at ~12 edges each measured +9 ms on the community headline
+        # (407.9M vs 755.7M edges/s — docs/DESIGN.md).  Required by
+        # on_demand layouts (no table exists); also usable with a table.
         if pack_counts:
             raise ValueError("typed_spill is incompatible with pack_counts")
-        from ggnn_tpu.ops.scatter_pallas import build_typed_dst_layout
         n_spill = int((~keep).sum())
         sp_t, sp_u = decode_rows(rows[~keep])
-        spill = build_typed_dst_layout(
-            sp_u, dst[~keep], sp_t, np.ones(n_spill, np.float32),
-            n_nodes_pad, t2, tile_e=spill_tile_e)
+        sp_d = dst[~keep]
+        order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
+                           kind="stable")            # type-major
+        spt, spu, spd = sp_t[order], sp_u[order], sp_d[order]
+        cnt = np.bincount(spt, minlength=t2)
+        if spill_bwd_bucket is not None:
+            if int(cnt.max(initial=0)) > spill_bwd_bucket:
+                raise ValueError(
+                    f"spill_bwd_bucket={spill_bwd_bucket} < max "
+                    f"per-type spill count {int(cnt.max())}")
+            padded = np.full(t2, spill_bwd_bucket, np.int64)
+        else:
+            padded = np.maximum(-(-cnt // 8) * 8, 8)
+            pmax = int(padded.max())
+            if t2 * pmax <= max(2 * int(padded.sum()), 4096):
+                padded = np.full(t2, pmax, np.int64)  # uniform → batched
+        offs = np.zeros(t2 + 1, np.int64)
+        np.cumsum(padded, out=offs[1:])
+        tot = int(offs[-1])
+        first_of_t = np.zeros(t2, np.int64)
+        first_of_t[1:] = np.cumsum(cnt)[:-1]
+        slot = offs[spt] + (np.arange(n_spill) - first_of_t[spt])
+        x_src = np.full(tot, n_src_rows, np.int64)   # pad slots → masked
+        x_src[slot] = spu
+        xw_state = (tuple(int(o) for o in offs), slot, spd, x_src)
+        if spill_tile_e is None:
+            # size the spill tile to the spill DENSITY (median block
+            # occupancy — same rule as the table spill below)
+            cnts = np.bincount((spd // BLOCK_N).astype(np.int64),
+                               minlength=n_nodes_pad // BLOCK_N)
+            med = int(np.median(cnts)) if n_spill else 0
+            spill_tile_e = 128
+            while spill_tile_e < min(med, 2048):
+                spill_tile_e *= 2
+        # block-level scatter pack gathering from the TRANSFORMED pack:
+        # edge "source row" = the edge's type-major slot
+        spill = build_dst_block_layout(
+            slot, spd, np.zeros(n_spill, np.int64),
+            np.ones(n_spill, np.float32), n_nodes_pad,
+            tile_e=spill_tile_e, n_src_rows=tot,
+            pad_tiles_to=spill_pad_tiles_to,
+            edge_align=(16 if spill_tile_e % 16 == 0 else None))
     elif (~keep).any() or force_spill:
         n_spill = int((~keep).sum())
         if spill_tile_e is None:
@@ -380,6 +421,12 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         for k, v in sdev.arrays.items():
             arrays["s_" + k] = v
         spill_meta = sdev.meta
+        if xw_state is not None:
+            # 9th meta element = static type-bucket offsets marks the XW
+            # (no-table) spill; ``sx_src`` holds the type-major src node
+            # of every bucket slot (pad slots = n_src_rows, masked to 0)
+            arrays["sx_src"] = jnp.asarray(xw_state[3].astype(np.int32))
+            spill_meta = sdev.meta + (xw_state[0],)
     grad_meta = None
     if with_grad:
         # transposed tiles for the backward pass Y = Cᵀ·da: out blocks are
@@ -480,38 +527,51 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             # feed batched einsums (dW and the per-edge dh rows), the dh
             # scatter rides the one-hot MXU kernel (same as the forward
             # spill), and db comes entirely from gt_indeg above.
-            sp_dst = dst[~keep]
-            sp_t, sp_u = decode_rows(rows[~keep])
-            order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
-                               kind="stable")            # type-major
-            sp_t, sp_u, sp_dst = sp_t[order], sp_u[order], sp_dst[order]
-            n_sp = sp_t.shape[0]
-            # per-type padded buckets with STATIC offsets; UNIFORM bucket
-            # size when the type distribution allows it (the backward then
-            # reshapes [T2, P, D] and runs two batched einsums).
-            # spill_bwd_bucket pins the uniform size (per-shard stacking)
-            cnt = np.bincount(sp_t, minlength=t2)
-            if spill_bwd_bucket is not None:
-                if int(cnt.max(initial=0)) > spill_bwd_bucket:
-                    raise ValueError(
-                        f"spill_bwd_bucket={spill_bwd_bucket} < max "
-                        f"per-type spill count {int(cnt.max())}")
-                padded = np.full(t2, spill_bwd_bucket, np.int64)
+            if xw_state is not None:
+                # the XW spill forward already built the type-major
+                # buckets — the backward reuses them verbatim
+                offs_t, slot, sp_dst, e_src = xw_state
+                offs = np.asarray(offs_t, np.int64)
+                tot = int(offs[-1])
+                n_sp = slot.shape[0]
+                sp_u = e_src[slot]
+                e_dst = np.zeros(tot, np.int64)
+                e_dst[slot] = sp_dst
             else:
-                padded = np.maximum(-(-cnt // 8) * 8, 8)
-                pmax = int(padded.max())
-                if t2 * pmax <= max(2 * int(padded.sum()), 4096):
-                    padded = np.full(t2, pmax, np.int64)
-            offs = np.zeros(t2 + 1, np.int64)
-            np.cumsum(padded, out=offs[1:])
-            tot = int(offs[-1])
-            first_of_t = np.zeros(t2, np.int64)
-            first_of_t[1:] = np.cumsum(cnt)[:-1]
-            slot = offs[sp_t] + (np.arange(n_sp) - first_of_t[sp_t])
-            e_dst = np.zeros(tot, np.int64)   # padding → row 0 (its h row
-            e_src = np.full(tot, n_src_rows, np.int64)  # is masked to 0)
-            e_dst[slot] = sp_dst
-            e_src[slot] = sp_u
+                sp_dst = dst[~keep]
+                sp_t, sp_u = decode_rows(rows[~keep])
+                order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
+                                   kind="stable")            # type-major
+                sp_t, sp_u, sp_dst = sp_t[order], sp_u[order], sp_dst[order]
+                n_sp = sp_t.shape[0]
+                # per-type padded buckets with STATIC offsets; UNIFORM
+                # bucket size when the type distribution allows it (the
+                # backward then reshapes [T2, P, D] and runs two batched
+                # einsums).  spill_bwd_bucket pins the uniform size
+                # (per-shard stacking)
+                cnt = np.bincount(sp_t, minlength=t2)
+                if spill_bwd_bucket is not None:
+                    if int(cnt.max(initial=0)) > spill_bwd_bucket:
+                        raise ValueError(
+                            f"spill_bwd_bucket={spill_bwd_bucket} < max "
+                            f"per-type spill count {int(cnt.max())}")
+                    padded = np.full(t2, spill_bwd_bucket, np.int64)
+                else:
+                    padded = np.maximum(-(-cnt // 8) * 8, 8)
+                    pmax = int(padded.max())
+                    if t2 * pmax <= max(2 * int(padded.sum()), 4096):
+                        padded = np.full(t2, pmax, np.int64)
+                offs = np.zeros(t2 + 1, np.int64)
+                np.cumsum(padded, out=offs[1:])
+                tot = int(offs[-1])
+                first_of_t = np.zeros(t2, np.int64)
+                first_of_t[1:] = np.cumsum(cnt)[:-1]
+                slot = offs[sp_t] + (np.arange(n_sp) - first_of_t[sp_t])
+                e_dst = np.zeros(tot, np.int64)  # padding → row 0 (its h
+                e_src = np.full(tot, n_src_rows,  # row is masked to 0)
+                                np.int64)
+                e_dst[slot] = sp_dst
+                e_src[slot] = sp_u
             arrays["s_bwd_dst"] = jnp.asarray(e_dst.astype(np.int32))
             arrays["s_bwd_src"] = jnp.asarray(e_src.astype(np.int32))
             spill_bwd_offsets = tuple(int(o) for o in offs)
@@ -1769,11 +1829,10 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             table = jnp.pad(table, ((0, pad), (0, 0)))
     n_rows = n_blocks * block_rows
     has_init = spill_meta is not None
-    typed_sp = (spill_meta is not None and len(spill_meta) > 7
-                and spill_meta[7] == "typed")
-    if quantized and typed_sp:
+    xw_sp = spill_meta is not None and len(spill_meta) > 8
+    if quantized and xw_sp:
         raise ValueError("quantized serving is incompatible with "
-                         "typed_spill (the typed kernel consumes bf16 h)")
+                         "typed_spill (the XW spill consumes bf16 h)")
     if has_init:
         if quantized:
             # in-row dequant: byte D of every row is the window exponent
@@ -1812,23 +1871,39 @@ def _spill_scatter(table, arrs, spill_meta, interpret):
 
 
 def _spill_partial(h, table, arrs, spill_meta, msg_w, msg_b, interpret):
-    """Spill aggregation dispatch: TYPED layouts (typed_spill=True) gather
-    h [N, D] directly — ~3.5× the per-row rate of the [T2·N, D] table
-    gather (footprint-sensitivity, docs/DESIGN.md round 4) — and apply
-    W_t inside the scatter kernel; bias = Σ_t spill-indeg_t(v)·b_t."""
-    if len(spill_meta) > 7 and spill_meta[7] == "typed":
-        from ggnn_tpu.ops.scatter_pallas import typed_onehot_scatter
-        h_pack = h[arrs["s_gather_idx"]]
-        out = typed_onehot_scatter(
-            h_pack, arrs["s_onehot"], arrs["s_tile_start"],
-            arrs["s_block_of_tile"], arrs["s_tile_msg_off"],
-            arrs["s_c_off"], arrs["s_tile_type"], msg_w,
-            n_blocks=spill_meta[3], tile_e=spill_meta[1],
-            align=spill_meta[6], interpret=interpret)
-        bias = jnp.einsum("tn,td->nd", arrs["s_indeg"],
-                          msg_b.astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
-        return out + bias
+    """Spill aggregation dispatch: XW (no-table) layouts — marked by the
+    9th spill_meta element, the static type-bucket offsets — gather h
+    [N, D] directly (~3.5× the per-row rate of the [T2·N, D] table
+    gather: footprint-sensitivity, docs/DESIGN.md round 4), transform in
+    type-major static buckets (one batched einsum + bias), then ride the
+    ordinary block-level one-hot scatter: ``s_gather_idx`` indexes the
+    transformed pack, doubling as the permutation into scatter order."""
+    if len(spill_meta) > 8:
+        offs = spill_meta[8]
+        T2, D = msg_w.shape[0], msg_w.shape[2]
+        N = h.shape[0]
+        src = arrs["sx_src"]
+        hc = h.astype(msg_w.dtype)
+        # pad slots carry src == n_src_rows: zero their rows so they
+        # contribute only the bias, and their one-hot columns are zero
+        hsp = jnp.where((src < N)[:, None], hc[jnp.minimum(src, N - 1)], 0)
+        strides = {offs[t + 1] - offs[t] for t in range(T2)}
+        if len(strides) == 1:
+            P = strides.pop()
+            msgs = (jnp.einsum("tpd,tdf->tpf", hsp.reshape(T2, P, D),
+                               msg_w, preferred_element_type=jnp.float32)
+                    + msg_b[:, None, :].astype(jnp.float32)).reshape(-1, D)
+        else:
+            msgs = jnp.concatenate(
+                [jnp.dot(hsp[offs[t]:offs[t + 1]], msg_w[t],
+                         preferred_element_type=jnp.float32)
+                 + msg_b[t].astype(jnp.float32) for t in range(T2)], axis=0)
+        # cast BEFORE the permutation gather (the row engine is
+        # byte-sensitive); padding scatter slots gather row 0 and vanish
+        # against their all-zero one-hot columns
+        return _spill_scatter_msgs(msgs.astype(msg_w.dtype)
+                                   [arrs["s_gather_idx"]],
+                                   arrs, spill_meta, interpret)
     return _spill_scatter(table, arrs, spill_meta, interpret)
 
 
