@@ -114,7 +114,11 @@ def main() -> int:
     from ggnn_tpu.models.ggnn import propagate
 
     batch = synthetic_batch(args.nodes, args.edges, args.types,
-                            annotation_dim=8, seed=0, node_mult=128,
+                            annotation_dim=8, seed=0,
+                            # the window layout needs n_pad % block_rows
+                            # == 0 (1M nodes at block_rows=256 is not
+                            # 128-mult-aligned to 256)
+                            node_mult=max(128, args.block_rows),
                             n_communities=args.communities,
                             p_intra=args.p_intra,
                             powerlaw_alpha=args.powerlaw)
@@ -123,10 +127,13 @@ def main() -> int:
     def bench_backend(backend: str, batch=batch,
                       block_rows: int | None = None,
                       pack: bool | None = None,
-                      fuse_gru: bool | None = None) -> float:
+                      fuse_gru: bool | None = None,
+                      on_demand: bool | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
         if fuse_gru is None:
             fuse_gru = args.fuse_gru
+        if on_demand is None:
+            on_demand = args.on_demand
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
@@ -154,11 +161,11 @@ def main() -> int:
                 # typed spill fragmented — measured 407.9M vs 755.7M on
                 # the community headline — so table mode defaults to the
                 # legacy table-gather spill)
-                typed_spill=((args.on_demand or args.xw_spill)
+                typed_spill=((on_demand or args.xw_spill)
                              and not do_pack
                              and not (args.q8 and fuse_gru)
                              and batch.spec.n_pad % 128 == 0),
-                on_demand=args.on_demand,
+                on_demand=on_demand,
                 row_major=("block" if batch.spec.n_pad % 128 == 0
                            else "src"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
@@ -298,8 +305,11 @@ def main() -> int:
                 args.nodes, args.edges, args.types, annotation_dim=8,
                 seed=0, node_mult=128,
                 n_communities=max(args.nodes // 512, 1), p_intra=0.95)
+            # on-demand table windows + XW spill: the round-2 headline
+            # config (870.7M measured vs 788.7M table+legacy spill)
             results["window_community"] = bench_backend(
-                "window", batch=comm, block_rows=512, fuse_gru=True)
+                "window", batch=comm, block_rows=512, fuse_gru=True,
+                on_demand=True)
             print(f"# window_community: {results['window_community']:.3e} "
                   f"edges/s", file=sys.stderr)
         except Exception as e:

@@ -55,6 +55,10 @@ def _rup_block(x: int) -> int:
     return ((x + BLOCK_N - 1) // BLOCK_N) * BLOCK_N
 
 
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 @dataclasses.dataclass
 class DstBlockLayout:
     """Host-built, topology-static scatter layout (numpy arrays).
@@ -795,7 +799,7 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
         # the bias is Σ_t indeg_t(v)·b_t outside
         h_pack = h[arrs["gather_idx"]]
         out = typed_onehot_scatter(
-            h_pack, arrs["onehot"], arrs["tile_start"],
+            h_pack, arrs["dstl"], arrs["tile_start"],
             arrs["block_of_tile"], arrs["tile_msg_off"], arrs["c_off"],
             arrs["tile_type"], msg_w, n_blocks=n_blocks, tile_e=tile_e,
             align=edge_align, interpret=interpret)
@@ -1018,11 +1022,16 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
     gt_first = np.zeros(n_groups, np.int64)
     gt_first[grp_idx] = np.cumsum(reps) - reps
     tile_of_edge = gt_first[gid] + rank // tile_e
-    onehot = np.zeros((max(n_real, 1) * BLOCK_N, tile_e), np.int8)
-    onehot[tile_of_edge * BLOCK_N + (dst - block * BLOCK_N),
-           rank % tile_e] = 1
+    # compact dst-local stream [n_real_tiles, tile_e] i32 (−1 = no edge):
+    # the kernel synthesizes each tile's one-hot as (iota == dstl row) on
+    # the VPU — 4·tile_e bytes/tile instead of the 128·tile_e int8 one-hot
+    # matrix (32× less DMA on the side stream; the compare+select costs
+    # about the same as the int8→bf16 convert it replaces).  Rows are
+    # DMA'd as 8-row-aligned slices (Mosaic sublane rule for i32).
+    dstl = np.full((_rup(max(n_real, 1), 8), tile_e), -1, np.int32)
+    dstl[tile_of_edge, rank % tile_e] = dst - block * BLOCK_N
     arrays = {"gather_idx": jnp.asarray(gather_idx),
-              "onehot": jnp.asarray(onehot),
+              "dstl": jnp.asarray(dstl),
               "tile_start": jnp.asarray(tile_start),
               "block_of_tile": jnp.asarray(block_of_tile),
               "tile_msg_off": jnp.asarray(tile_msg_off),
@@ -1064,13 +1073,17 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
 
 
 def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
-                         c_off_ref, type_ref, h_hbm, oh_hbm, w_hbm, out_hbm,
-                         acc, h_buf, o_buf, w_buf, h_sem, o_sem, w_sem,
-                         out_sem, *, tile_e, align, nbuf, n_blocks):
+                         c_off_ref, type_ref, h_hbm, dstl_hbm, w_hbm,
+                         out_hbm, acc, h_buf, o_buf, w_buf, h_sem, o_sem,
+                         w_sem, out_sem, *, tile_e, align, nbuf, n_blocks):
     """Mono DMA-ring one-hot scatter with an in-tile TYPE transform:
     acc += (onehot @ H_tile) · W[type(tile)].  Single program; per-tile
     H rows DMA'd at align-unit offsets (tiles may overlap groups — the
-    overlapped one-hot columns are zero)."""
+    overlapped positions carry dstl −1 and match no output row).  The
+    one-hot is SYNTHESIZED on the VPU from the tile's dst-local row
+    (iota == dstl) — 4·tile_e side-stream bytes/tile instead of the
+    128·tile_e int8 matrix; the row is DMA'd as the 8-row-aligned slice
+    containing it (Mosaic i32 sublane rule)."""
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_blocks]
     wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
@@ -1082,7 +1095,7 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
             h_hbm.at[pl.ds(off_ref[t] * align, tile_e), :],
             h_buf.at[slot], h_sem.at[slot])
         o = pltpu.make_async_copy(
-            oh_hbm.at[pl.ds(c_off_ref[t] * BLOCK_N, BLOCK_N), :],
+            dstl_hbm.at[pl.ds(8 * (c_off_ref[t] // 8), 8), :],
             o_buf.at[slot], o_sem.at[slot])
         return m, o
 
@@ -1127,7 +1140,16 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
             m, o = in_dma(slot, t)
             m.wait()
             o.wait()
-            p0 = jnp.dot(o_buf[slot].astype(h_buf.dtype), h_buf[slot],
+            # select the tile's dstl row from the 8-row slice, then
+            # synthesize the one-hot as (row iota == dstl); −1 (padding /
+            # group overlap) matches nothing
+            r = c_off_ref[t] % 8
+            sel = jax.lax.broadcasted_iota(jnp.int32, (8, tile_e), 0) == r
+            row = jnp.sum(jnp.where(sel, o_buf[slot], 0), axis=0,
+                          keepdims=True)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, tile_e), 0)
+                  == row).astype(h_buf.dtype)
+            p0 = jnp.dot(oh, h_buf[slot],
                          preferred_element_type=jnp.float32)
             prod = jnp.dot(p0.astype(w_buf.dtype), w_buf[type_ref[t]],
                            preferred_element_type=jnp.float32)
@@ -1159,13 +1181,14 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "tile_e", "align", "nbuf",
                                     "interpret"))
-def typed_onehot_scatter(h_pack, onehot, tile_start, block_of_tile,
+def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
                          tile_msg_off, c_off, tile_type, msg_w,
                          n_blocks: int, tile_e: int, align: int,
                          nbuf: int = 6, interpret: bool = False):
     """out[b·128:(b+1)·128] = Σ_tiles(b) (onehot_tile @ H_tile) · W[t_tile].
     ``h_pack`` [E_pack, D] = gathered h rows (packed per (block, type) at
-    align-row offsets)."""
+    align-row offsets); ``dstl`` [n_real_tiles_pad8, tile_e] i32 dst-local
+    rows (−1 = no edge) from which the kernel synthesizes each one-hot."""
     D = h_pack.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1177,7 +1200,7 @@ def typed_onehot_scatter(h_pack, onehot, tile_start, block_of_tile,
         scratch_shapes=[
             pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
             pltpu.VMEM((nbuf, tile_e, D), h_pack.dtype),
-            pltpu.VMEM((nbuf, BLOCK_N, tile_e), onehot.dtype),
+            pltpu.VMEM((nbuf, 8, tile_e), jnp.int32),
             pltpu.VMEM(msg_w.shape, msg_w.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -1196,9 +1219,9 @@ def typed_onehot_scatter(h_pack, onehot, tile_start, block_of_tile,
             flops=2 * block_of_tile.shape[0] * BLOCK_N * tile_e * D
             + 2 * block_of_tile.shape[0] * BLOCK_N * D * D,
             bytes_accessed=block_of_tile.shape[0]
-            * (tile_e * D * h_pack.dtype.itemsize + BLOCK_N * tile_e)
+            * (tile_e * D * h_pack.dtype.itemsize + 8 * tile_e * 4)
             + n_blocks * BLOCK_N * D * 4,
             transcendentals=0,
         ),
     )(block_of_tile, tile_msg_off, tile_start, c_off, tile_type,
-      h_pack, onehot, msg_w)
+      h_pack, dstl, msg_w)
