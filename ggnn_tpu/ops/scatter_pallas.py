@@ -97,6 +97,10 @@ class DstBlockLayout:
     row_order: str = "type"
     # grad layouts carry the per-(type, dst) edge counts for the bias grad
     indeg: "np.ndarray | None" = None
+    # compact i32 dst-local stream [n_tiles_pad8, tile_e] replacing the
+    # one-hot matrix when dstl_stream=True (the mono kernel synthesizes
+    # one-hots in VMEM — 32× less side-stream DMA)
+    dstl: "np.ndarray | None" = None
 
     @property
     def n_blocks(self) -> int:
@@ -117,6 +121,8 @@ class DstBlockLayout:
                   "dst_global": _jnp.asarray(self.dst_global)}
         if self.onehot is not None:
             arrays["onehot"] = _jnp.asarray(self.onehot)
+        if self.dstl is not None:
+            arrays["dstl"] = _jnp.asarray(self.dstl)
         if self.tile_msg_off is not None:
             arrays["tile_msg_off"] = _jnp.asarray(self.tile_msg_off)
         grad_meta = None
@@ -128,6 +134,8 @@ class DstBlockLayout:
             arrays["g_dst_local"] = _jnp.asarray(g.dst_local)
             if g.onehot is not None:
                 arrays["g_onehot"] = _jnp.asarray(g.onehot)
+            if g.dstl is not None:
+                arrays["g_dstl"] = _jnp.asarray(g.dstl)
             if g.tile_msg_off is not None:
                 arrays["g_tile_msg_off"] = _jnp.asarray(g.tile_msg_off)
             if g.indeg is not None:
@@ -207,7 +215,8 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            grad_tile_e: int | None = None,
                            grad_pad_tiles_to: int | None = None,
                            edge_align: int | None = None,
-                           row_order: str = "type") -> DstBlockLayout:
+                           row_order: str = "type",
+                           dstl_stream: bool = False) -> DstBlockLayout:
     """Group real directed edges by destination block; pad each group to a
     ``tile_e`` multiple.  Pure numpy — run once per batch topology.
 
@@ -356,7 +365,21 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
     block_of_tile = np.repeat(np.arange(n_blocks, dtype=np.int32),
                               tiles.astype(np.int64))
     onehot = None
-    if onehot_stream:
+    dstl = None
+    if onehot_stream and dstl_stream:
+        # compact dst-local stream [n_tiles_pad8, tile_e] i32 (−1 = no
+        # edge): the mono kernel synthesizes each tile's one-hot as
+        # (row iota == dstl) on the VPU — 4·tile_e side-stream bytes/tile
+        # instead of 128·tile_e int8 (32× less DMA); requires the
+        # manual-DMA path (edge_align / win_stride)
+        if edge_align is None:
+            raise ValueError("dstl_stream needs edge_align (only the mono "
+                             "win_stride kernel synthesizes one-hots)")
+        n_total_tiles = int(tile_start[-1])
+        dstl = np.full((_rup(max(n_total_tiles, 1), 8), tile_e), -1,
+                       np.int32)
+        dstl[tile_of, col] = dst_local[pos]
+    elif onehot_stream:
         # stored TRANSPOSED per tile — [n_tiles·BLOCK_N, tile_e] — so the
         # kernel contracts lhs dim 1 (MXU-native; contracting dim 0 forces
         # a per-tile transpose relayout)
@@ -390,7 +413,9 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
             # aligned grad pack: the backward's da gather is row-op-rate
             # bound like the forward's — unaligned g_tile padding re-read
             # up to +40% zero rows (the round-3 'zero-jump tax')
-            edge_align=(16 if onehot_stream and g_tile % 16 == 0 else None))
+            edge_align=(16 if onehot_stream and g_tile % 16 == 0 else None),
+            dstl_stream=(dstl_stream and onehot_stream
+                         and g_tile % 16 == 0))
         # per-(type, dst) edge counts: db[t] = sum_v cnt_t(v) * da[v] as
         # ONE [T2, N]*[N, D] matmul instead of the Y row-sum einsum
         grad.indeg = np.bincount(
@@ -403,7 +428,7 @@ def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
         dst_local=dst_local, tile_start=tile_start,
         block_of_tile=block_of_tile, dst_global=dst_global,
         onehot=onehot, grad=grad, tile_msg_off=tile_msg_off,
-        edge_align=edge_align, row_order=row_order)
+        edge_align=edge_align, row_order=row_order, dstl=dstl)
 
 
 def _scatter_kernel(tile_start_ref, msg_ref, dstl_ref, out_ref):
@@ -818,10 +843,13 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
         # DMAs message tiles at win_stride offsets (may overlap blocks —
         # overlapping one-hot columns are zero)
         from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
+        use_dstl = "dstl" in arrs
         out = window_block_spmm_mono(
-            msgs, arrs["onehot"], arrs["tile_start"], arrs["block_of_tile"],
+            msgs, arrs["dstl"] if use_dstl else arrs["onehot"],
+            arrs["tile_start"], arrs["block_of_tile"],
             arrs["tile_msg_off"], n_blocks=n_blocks, window=tile_e,
-            win_stride=edge_align, out_rows=BLOCK_N, interpret=interpret)
+            win_stride=edge_align, out_rows=BLOCK_N, dstl=use_dstl,
+            interpret=interpret)
     elif has_onehot:
         out = onehot_segment_scatter_flat(
             msgs, arrs["onehot"], arrs["tile_start"], arrs["block_of_tile"],
@@ -860,11 +888,14 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
         G = da[arrs["g_gather_idx"]]
         if g_align is not None:
             from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
+            use_dstl = "g_dstl" in arrs
             Y_flat = window_block_spmm_mono(
-                G, arrs["g_onehot"], arrs["g_tile_start"],
+                G, arrs["g_dstl"] if use_dstl else arrs["g_onehot"],
+                arrs["g_tile_start"],
                 arrs["g_block_of_tile"], arrs["g_tile_msg_off"],
                 n_blocks=g_blocks, window=g_tile_e, win_stride=g_align,
-                out_rows=BLOCK_N, out_dtype=out_dtype, interpret=interpret)
+                out_rows=BLOCK_N, out_dtype=out_dtype, dstl=use_dstl,
+                interpret=interpret)
         elif g_has_onehot:
             # mono kernel: f32 VMEM accumulation, flushed in the compute
             # dtype — Y is a [T2·N, D] intermediate whose three einsum
@@ -1057,11 +1088,18 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
             edge_mask=np.ones(dst.shape[0], np.float32),
             n_nodes_pad=n_rows_grad, tile_e=grad_tile_e,
             onehot_stream=True, n_src_rows=n_nodes_pad,
-            edge_align=(16 if grad_tile_e % 16 == 0 else None))
+            edge_align=(16 if grad_tile_e % 16 == 0 else None),
+            # compact dstl grad stream (one-hots synthesized in-kernel):
+            # the int8 g stream was ~128·E bytes ≈ 1 GB/prop-step at 8M
+            # edges; the dstl stream is 4·E
+            dstl_stream=grad_tile_e % 16 == 0)
         arrays["g_gather_idx"] = jnp.asarray(g.gather_idx)
         arrays["g_tile_start"] = jnp.asarray(g.tile_start)
         arrays["g_block_of_tile"] = jnp.asarray(g.block_of_tile)
-        arrays["g_onehot"] = jnp.asarray(g.onehot)
+        if g.dstl is not None:
+            arrays["g_dstl"] = jnp.asarray(g.dstl)
+        else:
+            arrays["g_onehot"] = jnp.asarray(g.onehot)
         if g.tile_msg_off is not None:
             arrays["g_tile_msg_off"] = jnp.asarray(g.tile_msg_off)
         arrays["g_indeg"] = arrays["indeg"]

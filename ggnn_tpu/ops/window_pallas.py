@@ -323,7 +323,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             np.ones(n_spill, np.float32), n_nodes_pad,
             tile_e=spill_tile_e, n_src_rows=tot,
             pad_tiles_to=spill_pad_tiles_to,
-            edge_align=(16 if spill_tile_e % 16 == 0 else None))
+            edge_align=(16 if spill_tile_e % 16 == 0 else None),
+            dstl_stream=spill_tile_e % 16 == 0)
     elif (~keep).any() or force_spill:
         n_spill = int((~keep).sum())
         if spill_tile_e is None:
@@ -349,7 +350,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
             pad_tiles_to=spill_pad_tiles_to,
             # 16-aligned packing: the per-row gather engine only reads
             # ~real spilled rows instead of per-block tile_e-padded ones
-            edge_align=(16 if spill_tile_e % 16 == 0 else None))
+            edge_align=(16 if spill_tile_e % 16 == 0 else None),
+            dstl_stream=spill_tile_e % 16 == 0)
 
     # dense tiles (+ one dummy tile per block so the kernel's first-tile
     # zero-init covers every output block).  The count STREAM holds REAL
@@ -595,7 +597,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                     np.zeros(tot, np.int64), mask, n_src_rows,
                     tile_e=sb_tile, n_src_rows=tot,
                     pad_tiles_to=spill_bwd_pad_tiles_to,
-                    edge_align=(16 if sb_tile % 16 == 0 else None))
+                    edge_align=(16 if sb_tile % 16 == 0 else None),
+                    dstl_stream=sb_tile % 16 == 0)
                 sb_dev = sb.to_device()
                 for k, v in sb_dev.arrays.items():
                     arrays["sb_" + k] = v
@@ -734,7 +737,7 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                         c_off_ref, table_hbm, c_hbm, out_hbm, acc, cast_buf,
                         tbl_buf, c_buf, tbl_sem, c_sem, out_sem, *, window,
                         nbuf, blocks_per_prog, block_n, packed=False,
-                        win_stride=None, cast_out=False):
+                        win_stride=None, cast_out=False, dstl=False):
     """Manual-DMA variant: the automatic pipeline cannot prefetch through
     the DYNAMIC table-window index map (win_of_tile[i]) — measured ~2.8 us
     of serialized DMA latency per tile, which dominated the whole step.
@@ -746,7 +749,17 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     their output block: no DMA is issued and no product computed — the
     count stream holds REAL tiles only, addressed via ``c_off_ref`` (the
     transposed/backward layout is ~50 % dummies: one per empty table
-    window — skipping them halves its stream bytes)."""
+    window — skipping them halves its stream bytes).
+
+    ``dstl=True``: the side stream is a compact [n_tiles_pad8, window]
+    i32 DST-LOCAL stream (row t = tile t's per-edge dst row in
+    [0, block_n), −1 = no edge) instead of the [n_tiles·block_n, window]
+    int8 one-hot matrix — the kernel synthesizes each tile's one-hot on
+    the VPU as (row iota == dstl row), cutting that stream's DMA
+    block_n/4-fold (32× at block_n=128).  Only valid for 0/1 scatters
+    (one dst per edge column), not multigraph count streams; ``c_off``
+    then indexes dstl ROWS (the tile's row is DMA'd as the 8-row-aligned
+    slice containing it — the Mosaic i32 sublane rule)."""
     p = pl.program_id(0)
     b0 = p * blocks_per_prog
     t0 = tile_start_ref[b0]
@@ -758,9 +771,14 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         m = pltpu.make_async_copy(
             table_hbm.at[pl.ds(w * stride, window), :],
             tbl_buf.at[slot], tbl_sem.at[slot])
-        c = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(c_off_ref[t] * block_n, block_n), :],
-            c_buf.at[slot], c_sem.at[slot])
+        if dstl:
+            c = pltpu.make_async_copy(
+                c_hbm.at[pl.ds(8 * (c_off_ref[t] // 8), 8), :],
+                c_buf.at[slot], c_sem.at[slot])
+        else:
+            c = pltpu.make_async_copy(
+                c_hbm.at[pl.ds(c_off_ref[t] * block_n, block_n), :],
+                c_buf.at[slot], c_sem.at[slot])
         return m, c
 
     def start_in(slot, t):
@@ -808,7 +826,23 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
             m, c = in_dma(slot, t)
             m.wait()
             c.wait()
-            prod = _count_dot(c_buf[slot], tbl_buf[slot], window, packed)
+            if dstl:
+                # synthesize the tile's one-hot from its dst-local row:
+                # pick the row out of the 8-row slice, then
+                # (row iota == dstl) — −1 (no edge) matches nothing
+                r = c_off_ref[t] % 8
+                sel = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, window), 0) == r
+                row = jnp.sum(jnp.where(sel, c_buf[slot], 0), axis=0,
+                              keepdims=True)
+                oh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (block_n, window), 0) == row
+                ).astype(tbl_buf.dtype)
+                prod = jnp.dot(oh, tbl_buf[slot],
+                               preferred_element_type=jnp.float32)
+            else:
+                prod = _count_dot(c_buf[slot], tbl_buf[slot], window,
+                                  packed)
 
             @pl.when(first)
             def _():
@@ -840,13 +874,14 @@ def _window_mono_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
                                     "out_rows", "packed", "win_stride",
-                                    "out_dtype", "interpret"))
+                                    "out_dtype", "dstl", "interpret"))
 def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
                            win_of_tile, n_blocks: int, window: int,
                            n_progs: int = 1, nbuf: int = 6,
                            out_rows: int = BLOCK_N, packed: bool = False,
                            win_stride: int | None = None, c_off=None,
-                           out_dtype=None, interpret: bool = False):
+                           out_dtype=None, dstl: bool = False,
+                           interpret: bool = False):
     """Manual-DMA-ring variant of :func:`window_block_spmm` (production).
 
     ``out_rows`` generalizes the output-block height so the SAME kernel
@@ -871,12 +906,18 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
 
     ``out_dtype`` (default f32): narrower outputs (bf16 for the backward
     Y — its consumers accumulate in f32 anyway) halve the flush DMA and
-    every downstream read of a [n_wins·W, D]-sized intermediate."""
+    every downstream read of a [n_wins·W, D]-sized intermediate.
+
+    ``dstl=True``: ``c_stream`` is the compact [n_tiles_pad8, window] i32
+    dst-local stream (see :func:`_window_mono_kernel`); only for 0/1
+    scatter streams (each column one dst), incompatible with ``packed``."""
     R, D = table.shape
     if win_stride is None and R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
         raise ValueError("n_progs must divide n_blocks")
+    if dstl and packed:
+        raise ValueError("dstl and packed are mutually exclusive")
     n_tiles = win_of_tile.shape[0]
     if c_off is None:
         c_off = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -894,7 +935,8 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
             pltpu.VMEM((2, out_rows, D) if cast_out else (1, 8, 128),
                        out_dtype),
             pltpu.VMEM((nbuf, window, D), table.dtype),
-            pltpu.VMEM((nbuf, out_rows, c_cols), c_stream.dtype),
+            pltpu.VMEM((nbuf, 8, window) if dstl
+                       else (nbuf, out_rows, c_cols), c_stream.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -903,7 +945,8 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
     kernel = functools.partial(_window_mono_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
                                block_n=out_rows, packed=packed,
-                               win_stride=win_stride, cast_out=cast_out)
+                               win_stride=win_stride, cast_out=cast_out,
+                               dstl=dstl)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -912,7 +955,8 @@ def window_block_spmm_mono(table, c_stream, tile_start, block_of_tile,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * out_rows * window * D,
             bytes_accessed=n_tiles * (window * D * table.dtype.itemsize
-                                      + out_rows * c_cols)
+                                      + (8 * window * 4 if dstl
+                                         else out_rows * c_cols))
             + n_blocks * out_rows * D * out_dtype.itemsize,
             transcendentals=0,
         ),
@@ -1911,11 +1955,14 @@ def _spill_scatter_msgs(msgs, arrs, spill_meta, interpret, prefix="s_"):
     s_tile_e, s_blocks = spill_meta[1], spill_meta[3]
     align = spill_meta[6] if len(spill_meta) > 6 else None
     if align is not None:
+        use_dstl = (prefix + "dstl") in arrs
         return window_block_spmm_mono(
-            msgs, arrs[prefix + "onehot"], arrs[prefix + "tile_start"],
+            msgs,
+            arrs[prefix + ("dstl" if use_dstl else "onehot")],
+            arrs[prefix + "tile_start"],
             arrs[prefix + "block_of_tile"], arrs[prefix + "tile_msg_off"],
             n_blocks=s_blocks, window=s_tile_e, win_stride=align,
-            out_rows=BLOCK_N, interpret=interpret)
+            out_rows=BLOCK_N, dstl=use_dstl, interpret=interpret)
     return onehot_segment_scatter_flat(
         msgs, arrs[prefix + "onehot"], arrs[prefix + "tile_start"],
         arrs[prefix + "block_of_tile"], n_blocks=s_blocks, tile_e=s_tile_e,
