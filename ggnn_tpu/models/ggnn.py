@@ -85,14 +85,20 @@ def _gru_core_fwd(mdt, w_a, b_all, u_zr, uh, h, a):
     # `a` only feeds aᵀ·dp matmuls in the backward, which cast to the
     # matmul dtype anyway — storing it narrow is lossless for them and
     # drops a [N, D] f32 residual per scan step (the 0-d witness keeps
-    # the da cotangent in the primal's dtype)
-    res = (w_a, u_zr, uh, h, a.astype(rdt), jnp.zeros((), a.dtype),
+    # the da cotangent in the primal's dtype).  `h` is stored narrow too:
+    # its backward consumers are matmuls (cast anyway) and elementwise
+    # terms against the already-narrow z/r/h̃ — and the narrow copy CSEs
+    # with the aggregation VJP's saved h.astype(cdt), so the scan stacks
+    # ONE bf16 [N, D] per step instead of bf16 + f32
+    res = (w_a, u_zr, uh, h.astype(rdt), jnp.zeros((), h.dtype),
+           a.astype(rdt), jnp.zeros((), a.dtype),
            z.astype(rdt), r.astype(rdt), htil.astype(rdt))
     return out, res
 
 
 def _gru_core_bwd(mdt, res, g):
-    w_a, u_zr, uh, h, a, a_wit, z, r, htil = res
+    w_a, u_zr, uh, h, h_wit, a, a_wit, z, r, htil = res
+    h = h.astype(jnp.float32)
     z = z.astype(jnp.float32)
     r = r.astype(jnp.float32)
     htil = htil.astype(jnp.float32)
@@ -121,7 +127,7 @@ def _gru_core_bwd(mdt, res, g):
     du_zr = jnp.concatenate([_mm(mdt, h.T, dpz), _mm(mdt, h.T, dpr)], axis=1)
     return (dw_a.astype(w_a.dtype), db.astype(w_a.dtype),
             du_zr.astype(u_zr.dtype), duh.astype(uh.dtype),
-            dh.astype(h.dtype), da.astype(a_wit.dtype))
+            dh.astype(h_wit.dtype), da.astype(a_wit.dtype))
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
@@ -140,20 +146,23 @@ def _gru_core_pallas_fwd(mdt, w_a, b_all, u_zr, uh, h, a):
     itp = jax.default_backend() != "tpu"
     out, z, r, htil = gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt=mdt,
                                    interpret=itp)
-    return out, (w_a, b_all, u_zr, uh, h, a.astype(mdt),
+    # h stored narrow: see _gru_core_fwd (CSEs with the aggregation VJP's
+    # saved h cast — one bf16 [N, D] stacked per scan step, not two)
+    return out, (w_a, b_all, u_zr, uh, h.astype(mdt),
+                 jnp.zeros((), h.dtype), a.astype(mdt),
                  jnp.zeros((), a.dtype), z, r, htil)
 
 
 def _gru_core_pallas_bwd(mdt, res, g):
     from ggnn_tpu.ops.gru_pallas import gru_cell_bwd
-    w_a, b_all, u_zr, uh, h, a, a_wit, z, r, htil = res
+    w_a, b_all, u_zr, uh, h, h_wit, a, a_wit, z, r, htil = res
     itp = jax.default_backend() != "tpu"
     dh, da, dwa, db, duzr, duh = gru_cell_bwd(
         g.astype(jnp.float32), h, a, z, r, htil, w_a, u_zr, uh, mdt=mdt,
         interpret=itp)
     return (dwa.astype(w_a.dtype), db.reshape(-1).astype(b_all.dtype),
             duzr.astype(u_zr.dtype), duh.astype(uh.dtype),
-            dh.astype(h.dtype), da.astype(a_wit.dtype))
+            dh.astype(h_wit.dtype), da.astype(a_wit.dtype))
 
 
 _gru_core_pallas.defvjp(_gru_core_pallas_fwd, _gru_core_pallas_bwd)

@@ -65,7 +65,7 @@ def _bwd_kernel(g_ref, h_ref, a_ref, z_ref, r_ref, ht_ref, wat_ref,
     i = pl.program_id(0)
     D = h_ref.shape[-1]
     g = g_ref[...]
-    h = h_ref[...]
+    h = h_ref[...].astype(jnp.float32)  # residuals may arrive narrow
     z = z_ref[...].astype(jnp.float32)
     r = r_ref[...].astype(jnp.float32)
     htil = ht_ref[...].astype(jnp.float32)
