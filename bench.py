@@ -139,8 +139,9 @@ def main() -> int:
                           backend=backend, agg_strategy=args.agg,
                           compute_dtype=args.dtype,
                           remat=(args.remat and args.mode == "train"),
-                          fuse_gru=(fuse_gru and backend == "window"
-                                    and args.mode == "fwd"),
+                          # the fused window+GRU step is trainable since
+                          # round 2 (emit_res custom VJP)
+                          fuse_gru=(fuse_gru and backend == "window"),
                           quantized_table=(args.q8 and fuse_gru
                                            and backend == "window"
                                            and args.mode == "fwd"))

@@ -261,9 +261,13 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
                 "jitted function's arguments as scatter_layout")
 
         if cfg.fuse_gru:
-            # serving-path fusion: the GRU runs in the window kernel's
-            # epilogue on the VMEM-resident aggregation (no [N,D] a
-            # round-trip).  Forward-only — the VJP needs materialized a.
+            # fused step: the GRU runs in the window kernel's epilogue on
+            # the VMEM-resident aggregation (no [N,D] a round-trip, no
+            # separate GRU pass).  TRAINABLE since round 2: under
+            # differentiation the kernel also emits an (a|z|r|h̃) narrow
+            # residual stream and the custom VJP reuses the fused window
+            # backward + Pallas GRU backward (needs N % 128 == 0 and a
+            # with_grad layout; quantized_table stays forward-only).
             def step(h, _):
                 h_new = gru_window_step(h, scatter_layout, msg_w_c, msg_b_c,
                                         prop["gru"],

@@ -1541,7 +1541,7 @@ def _node_table(h, msg_w, msg_b, row_major: str, interpret: bool):
 def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
                         c_off_ref, *rest, window, nbuf, blocks_per_prog,
                         block_n, packed, has_init, q8=False,
-                        ondemand=False, gtypes=0, t2=0):
+                        ondemand=False, gtypes=0, t2=0, emit_res=False):
     """Fused propagation step: window accumulation + GRU epilogue.
 
     Same DMA-ring structure as :func:`_window_mono_kernel`, plus per dst
@@ -1557,7 +1557,14 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     ``q8``: the table is int8 with power-of-2 per-window scales (an extra
     scalar-prefetch array) — the tile product becomes an int8×int8→int32
     MXU dot dequantized by one scalar multiply (no int8→bf16 VPU convert
-    of the count stream)."""
+    of the count stream).
+
+    ``emit_res``: ALSO write the step's backward residuals — one
+    [n_rows, 4D] stream holding (a | z | r | h̃) per row in the compute
+    dtype — staged in VMEM at the block's last tile and flushed async.
+    This is what makes the fused step TRAINABLE (the custom VJP reads
+    the residuals instead of re-running the aggregation + gate math);
+    the serving path compiles with ``emit_res=False`` and pays nothing."""
     if q8:
         scales_ref = rest[0]
         rest = rest[1:]
@@ -1566,13 +1573,23 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         # block and build the table window in VMEM (wbank/bbank resident,
         # tw scratch) — the [T2·N, D] table never exists in HBM
         (table_hbm, c_hbm, init_hbm, h_hbm, wa_ref, b_ref, uzr_ref, uh_ref,
-         wbank_ref, bbank_ref, out_hbm, acc, tbl_buf, c_buf, init_buf,
-         h_buf, tw, tbl_sem, c_sem, init_sem, h_sem, out_sem) = rest
+         wbank_ref, bbank_ref, *rest) = rest
         wpb = t2 // gtypes
     else:
         (table_hbm, c_hbm, init_hbm, h_hbm, wa_ref, b_ref, uzr_ref, uh_ref,
-         out_hbm, acc, tbl_buf, c_buf, init_buf, h_buf, tbl_sem, c_sem,
-         init_sem, h_sem, out_sem) = rest
+         *rest) = rest
+    out_hbm, *rest = rest
+    res_hbm = None
+    if emit_res:
+        res_hbm, *rest = rest
+    acc, tbl_buf, c_buf, init_buf, h_buf, *rest = rest
+    if ondemand:
+        tw, *rest = rest
+    res_buf = None
+    if emit_res:
+        res_buf, *rest = rest
+    tbl_sem, c_sem, init_sem, h_sem, out_sem, *rest = rest
+    res_sem = rest[0] if emit_res else None
     D_val = wa_ref.shape[0]
     p = pl.program_id(0)
     b0 = p * blocks_per_prog
@@ -1621,6 +1638,16 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
             acc.at[par], out_hbm.at[pl.ds(blk * block_n, block_n), :],
             out_sem.at[par])
 
+    def res_dma(par, blk):
+        return pltpu.make_async_copy(
+            res_buf.at[par], res_hbm.at[pl.ds(blk * block_n, block_n), :],
+            res_sem.at[par])
+
+    def wait_out(par, blk):
+        out_dma(par, blk).wait()
+        if emit_res:
+            res_dma(par, blk).wait()
+
     def prolog(k, _):
         @pl.when(t0 + k < t1)
         def _():
@@ -1644,7 +1671,7 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
         @pl.when(jnp.logical_and(first, blk - b0 >= 2))
         def _():
-            out_dma(par, blk - 2).wait()
+            wait_out(par, blk - 2)
 
         @pl.when(first)
         def _():
@@ -1696,6 +1723,14 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
             htil = jnp.tanh(pa[:, 2 * D:]
                             + jnp.dot((r * hblk).astype(cdt), uh_ref[...],
                                       preferred_element_type=jnp.float32))
+            if emit_res:
+                # stage (a | z | r | h̃) narrow and flush async — the
+                # custom VJP's whole view of this step
+                res_buf[par, :, :D] = a.astype(res_buf.dtype)
+                res_buf[par, :, D:2 * D] = z.astype(res_buf.dtype)
+                res_buf[par, :, 2 * D:3 * D] = r.astype(res_buf.dtype)
+                res_buf[par, :, 3 * D:] = htil.astype(res_buf.dtype)
+                res_dma(par, blk).start()
             acc[par] = (1.0 - z) * hblk + z * htil
             out_dma(par, blk).start()
 
@@ -1709,19 +1744,20 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
     jax.lax.fori_loop(t0, t1, body, 0)
     last_blk = b0 + blocks_per_prog - 1
     if blocks_per_prog >= 2:
-        out_dma(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1).wait()
-    out_dma(jax.lax.rem(last_blk - b0, 2), last_blk).wait()
+        wait_out(jax.lax.rem(last_blk - 1 - b0, 2), last_blk - 1)
+    wait_out(jax.lax.rem(last_blk - b0, 2), last_blk)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "window", "n_progs", "nbuf",
                                     "out_rows", "packed", "has_init",
-                                    "interpret"))
+                                    "emit_res", "interpret"))
 def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
                     init, h, wa, b3, uzr, uh, n_blocks: int, window: int,
                     n_progs: int = 1, nbuf: int = 6,
                     out_rows: int = BLOCK_N, packed: bool = False,
-                    has_init: bool = True, interpret: bool = False,
+                    has_init: bool = True, emit_res: bool = False,
+                    interpret: bool = False,
                     scales=None, c_off=None, msg_w=None, msg_b=None):
     """Fused window-aggregation + GRU step (see :func:`_window_step_kernel`).
 
@@ -1736,9 +1772,16 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
     ``msg_w``/``msg_b`` select the ON-DEMAND path: ``table`` is then the
     (compute-dtype) h source array itself — each tile DMAs a 128-row h
     block and builds its table window in VMEM (gtypes MXU dots against
-    the resident weight bank); no [T2·N, D] table exists in HBM."""
+    the resident weight bank); no [T2·N, D] table exists in HBM.
+
+    ``emit_res``: returns (h_new, resid) where resid [n_rows, 4D] holds
+    (a | z | r | h̃) per row in the compute dtype — the trainable fused
+    step's backward residuals (see :func:`gru_window_step`)."""
     q8 = scales is not None
     ondemand = msg_w is not None
+    if emit_res and q8:
+        raise ValueError("emit_res (training) and q8 (serving quant) are "
+                         "mutually exclusive")
     R, D_row = table.shape
     D = D_row - 128 if q8 else D_row
     if not ondemand and R % window:
@@ -1768,6 +1811,7 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    rdt = table.dtype if not q8 else jnp.dtype(jnp.bfloat16)
     scratch = [
         pltpu.VMEM((2, out_rows, D), jnp.float32),
         pltpu.VMEM((nbuf, 128 if ondemand else window, D), table.dtype),
@@ -1779,6 +1823,8 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM)]
         scratch.append(pltpu.VMEM((window, D), table.dtype))
+    if emit_res:
+        scratch.append(pltpu.VMEM((2, out_rows, 4 * D), rdt))
     scratch += [
         pltpu.SemaphoreType.DMA((nbuf,)),
         pltpu.SemaphoreType.DMA((nbuf,)),
@@ -1786,18 +1832,26 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if emit_res:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((n_blocks * out_rows, D), jnp.float32)
+    if emit_res:
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct(
+            (n_blocks * out_rows, 4 * D), rdt)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5 if q8 else 4,
         grid=(n_progs,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_window_step_kernel, window=window, nbuf=nbuf,
                                blocks_per_prog=n_blocks // n_progs,
                                block_n=out_rows, packed=packed,
                                has_init=has_init, q8=q8, ondemand=ondemand,
-                               gtypes=gtypes, t2=t2)
+                               gtypes=gtypes, t2=t2, emit_res=emit_res)
     n_tiles = win_of_tile.shape[0]
     args = (block_of_tile, win_of_tile, tile_start, c_off)
     if q8:
@@ -1808,7 +1862,7 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * out_rows, D), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * out_rows * window * D
@@ -1817,7 +1871,9 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
             bytes_accessed=n_tiles * (
                 (128 if ondemand else window) * D_row * table.dtype.itemsize
                 + out_rows * c_cols)
-            + n_blocks * out_rows * D * 4 * (3 if has_init else 2),
+            + n_blocks * out_rows * D * 4 * (3 if has_init else 2)
+            + (n_blocks * out_rows * 4 * D * rdt.itemsize if emit_res
+               else 0),
             transcendentals=3 * n_blocks * out_rows * D,
         ),
     )(*args, *ins)
@@ -1828,13 +1884,19 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     """One full propagation step h → h' through the fused kernel:
     table kernel → spill partial aggregation → fused window-accumulate +
     GRU epilogue.  Numerically the gate matmuls run bf16-in/f32-acc when
-    ``msg_w`` is bf16 (vs f32 in the unfused path) — serving-path use;
-    training uses :func:`aggregate_window` + the XLA GRU.
+    ``msg_w`` is bf16 (vs f32 in the unfused path).
+
+    TRAINABLE: the custom VJP compiles the kernel with ``emit_res=True``
+    under differentiation (one extra [n_rows, 4D] narrow residual stream
+    per step — a, z, r, h̃), then reuses :func:`gru_cell_bwd` and
+    :func:`_aggregate_window_bwd` for the backward.  The serving (primal)
+    compile emits no residuals and pays nothing.  Needs a with_grad
+    layout and N % 128 == 0 to take gradients.
 
     ``quantized``: int8 table with power-of-2 per-window scales
     (node_table_block_major_q8) — the serving quantization mode; needs a
     row_major='block' layout and D % 128 == 0.  Adds ~0.5 % relative
-    noise to the aggregation (int8 rounding)."""
+    noise to the aggregation (int8 rounding).  Forward-only."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
@@ -1850,35 +1912,25 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     arrs = layout.arrays
     N, D = h.shape
     cdt = msg_w.dtype
-    scales = None
+    wa = jnp.concatenate([gru["wz"], gru["wr"], gru["wh"]], axis=1)
+    b3 = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]])[None, :]
+    uzr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
     if quantized:
         if row_major != "block":
             raise ValueError("quantized serving needs row_major='block'")
         if pack_fwd:
             raise ValueError("quantized serving is incompatible with "
                              "pack_counts (int8 MXU consumes raw counts)")
+        xw_sp = spill_meta is not None and len(spill_meta) > 8
+        if xw_sp:
+            raise ValueError("quantized serving is incompatible with "
+                             "typed_spill (the XW spill consumes bf16 h)")
         table, scales = node_table_block_major_q8(
             h.astype(cdt), msg_w, msg_b, window=W, interpret=interpret)
         scales = scales[:, 0]
-    elif on_demand:
-        # the table source is h itself (the fused kernel builds windows
-        # in VMEM against the resident weight bank)
-        table = h.astype(cdt)
-    else:
-        table = _node_table(h.astype(cdt), msg_w, msg_b, row_major,
-                            interpret)
-    if not on_demand:
-        pad = (-table.shape[0]) % W
-        if pad:
-            table = jnp.pad(table, ((0, pad), (0, 0)))
-    n_rows = n_blocks * block_rows
-    has_init = spill_meta is not None
-    xw_sp = spill_meta is not None and len(spill_meta) > 8
-    if quantized and xw_sp:
-        raise ValueError("quantized serving is incompatible with "
-                         "typed_spill (the XW spill consumes bf16 h)")
-    if has_init:
-        if quantized:
+        n_rows = n_blocks * block_rows
+        has_init = spill_meta is not None
+        if has_init:
             # in-row dequant: byte D of every row is the window exponent
             raw = table[arrs["s_gather_idx"]]
             msgs = (raw[:, :D].astype(jnp.float32)
@@ -1886,24 +1938,105 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
                     ).astype(cdt)
             init = _spill_scatter_msgs(msgs, arrs, spill_meta, interpret)
         else:
-            init = _spill_partial(h.astype(cdt), table, arrs, spill_meta,
-                                  msg_w, msg_b, interpret)
+            init = jnp.zeros((n_rows, D), jnp.float32)
+        h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
+        h_new = window_step_gru(
+            table, arrs["c_stream"], arrs["tile_start"],
+            arrs["block_of_tile"], arrs["win_of_tile"], init, h_pad,
+            wa.astype(cdt), b3.astype(jnp.float32), uzr.astype(cdt),
+            gru["uh"].astype(cdt),
+            n_blocks=n_blocks, window=W, out_rows=block_rows,
+            packed=pack_fwd, has_init=has_init, interpret=interpret,
+            scales=scales, c_off=arrs.get("c_off"))
+        return h_new[:N]
+    return _fused_gru_step(layout.meta, interpret, arrs, h, msg_w, msg_b,
+                           wa, b3, uzr, gru["uh"])[:N]
+
+
+def _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
+                     uh, emit_res):
+    (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
+     block_rows) = meta[:8]
+    pack_fwd = meta[8][0] if len(meta) > 8 else False
+    on_demand = meta[9] if len(meta) > 9 else False
+    N, D = h.shape
+    cdt = msg_w.dtype
+    if on_demand:
+        # the table source is h itself (the fused kernel builds windows
+        # in VMEM against the resident weight bank)
+        table = h.astype(cdt)
+    else:
+        table = _node_table(h.astype(cdt), msg_w, msg_b, row_major,
+                            interpret)
+        pad = (-table.shape[0]) % W
+        if pad:
+            table = jnp.pad(table, ((0, pad), (0, 0)))
+    n_rows = n_blocks * block_rows
+    has_init = spill_meta is not None
+    if has_init:
+        init = _spill_partial(h.astype(cdt), table, arrs, spill_meta,
+                              msg_w, msg_b, interpret)
     else:
         init = jnp.zeros((n_rows, D), jnp.float32)
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
-    wa = jnp.concatenate([gru["wz"], gru["wr"], gru["wh"]], axis=1)
-    b3 = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]])[None, :]
-    uzr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
-    h_new = window_step_gru(
+    return window_step_gru(
         table, arrs["c_stream"], arrs["tile_start"], arrs["block_of_tile"],
         arrs["win_of_tile"], init, h_pad, wa.astype(cdt),
-        b3.astype(jnp.float32), uzr.astype(cdt), gru["uh"].astype(cdt),
+        b3.astype(jnp.float32), uzr.astype(cdt), uh.astype(cdt),
         n_blocks=n_blocks, window=W, out_rows=block_rows, packed=pack_fwd,
-        has_init=has_init, interpret=interpret, scales=scales,
+        has_init=has_init, emit_res=emit_res, interpret=interpret,
         c_off=arrs.get("c_off"),
         msg_w=msg_w if on_demand else None,
         msg_b=msg_b if on_demand else None)
-    return h_new[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_gru_step(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
+                    uh):
+    return _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3,
+                            uzr, uh, emit_res=False)
+
+
+def _fused_gru_step_fwd(meta, interpret, arrs, h, msg_w, msg_b, wa, b3,
+                        uzr, uh):
+    h_new, resid = _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b,
+                                    wa, b3, uzr, uh, emit_res=True)
+    cdt = msg_w.dtype
+    # h saved narrow (its consumers are matmuls + elementwise vs the
+    # already-narrow gates — same policy as models.ggnn._gru_core_fwd)
+    return h_new, (arrs, h.astype(cdt), msg_w, wa, uzr, uh, resid,
+                   jnp.zeros((), h.dtype))
+
+
+def _fused_gru_step_bwd(meta, interpret, res, g):
+    from ggnn_tpu.ops.gru_pallas import gru_cell_bwd
+    arrs, hc, msg_w, wa, uzr, uh, resid, h_wit = res
+    N, D = hc.shape
+    if N % 128 or D % 128:
+        raise ValueError("the fused window+GRU step takes gradients only "
+                         f"for N % 128 == 0 and D % 128 == 0 (got "
+                         f"{N}×{D}); use the unfused path "
+                         "(cfg.fuse_gru=False)")
+    cdt = msg_w.dtype
+    a = resid[:N, :D]
+    z = resid[:N, D:2 * D]
+    r = resid[:N, 2 * D:3 * D]
+    htil = resid[:N, 3 * D:]
+    # GRU backward on the kernel's saved gates (padding rows of g beyond
+    # N carry no gradient: their h_new rows are pad-only)
+    dh1, da, dwa, db3, duzr, duh = gru_cell_bwd(
+        g[:N].astype(jnp.float32), hc, a, z, r, htil, wa, uzr, uh,
+        mdt=jnp.dtype(cdt).name, interpret=interpret)
+    # aggregation backward (fused bwd kernel + spill backward + indeg db)
+    d_arrs, dh2, dW, dbm = _aggregate_window_bwd(
+        meta, interpret, (arrs, hc, msg_w), da)
+    dh = (dh1 + dh2.astype(jnp.float32)).astype(h_wit.dtype)
+    return (d_arrs, dh, dW, dbm, dwa.astype(wa.dtype),
+            db3.reshape(1, -1).astype(jnp.float32),
+            duzr.astype(uzr.dtype), duh.astype(uh.dtype))
+
+
+_fused_gru_step.defvjp(_fused_gru_step_fwd, _fused_gru_step_bwd)
 
 
 def _spill_scatter(table, arrs, spill_meta, interpret):

@@ -18,22 +18,23 @@ import jax
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="real TPU required")
 
-# (name, extra bench.py args, threshold edges/s) — thresholds ≈ 80% of:
-# uniform fwd 257.0M / uniform train 104.6M / community fwd 786.8M
-# (driver BENCH_r01) / community train 249.1M / scale-free fwd 169.1M.
+# (name, extra bench.py args, threshold edges/s) — thresholds ≈ 80% of
+# the round-2 driver-round measurements: uniform fwd 252.8M / uniform
+# train 104.1M / community fwd 870.7M (fuse_gru + on_demand) / community
+# train 252.8M (on_demand) / scale-free fwd 208.8M (on_demand).
 CASES = [
     ("uniform_fwd_onehot",
-     ["--backend", "onehot"], 205e6),
+     ["--backend", "onehot"], 202e6),
     ("uniform_train_onehot",
      ["--backend", "onehot", "--mode", "train"], 83e6),
     ("community_fwd_window",
      ["--backend", "window", "--communities", "512", "--block_rows", "512",
-      "--fuse_gru"], 620e6),
+      "--fuse_gru", "--on_demand"], 696e6),
     ("community_train_window",
      ["--backend", "window", "--communities", "512", "--block_rows", "512",
-      "--mode", "train"], 199e6),
+      "--mode", "train", "--on_demand"], 202e6),
     ("scalefree_fwd_window",
-     ["--backend", "window", "--powerlaw", "1.2"], 135e6),
+     ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
 ]
 
 

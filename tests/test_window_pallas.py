@@ -615,3 +615,43 @@ def test_window_on_demand_fused_gru(rng, window, block_rows):
     got = gru_window_step(h, lay, W, b, gru, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_h),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("min_edges,on_demand",
+                         [(3, False), (150, False), (3, True), (150, True)])
+def test_fused_gru_step_grads(rng, min_edges, on_demand):
+    """value_and_grad through the TRAINABLE fused step (the emit_res
+    custom VJP: the kernel also writes an (a|z|r|h̃) residual stream and
+    the backward reuses gru_cell_bwd + the fused window backward) matches
+    the unfused aggregate_window + gru_update step for every input —
+    h, msg_w, msg_b, and all GRU weights; dense and window+spill mixes,
+    with and without on-demand table windows."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+    N, E, T2, D = 512, 3000, 4, 128
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=256,
+                              min_edges_per_tile=min_edges, spill_tile_e=8,
+                              n_message_types=T2, block_rows=256,
+                              with_grad=True, row_major="block",
+                              typed_spill=on_demand, on_demand=on_demand)
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prop = params["prop"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+
+    def loss_fused(h, msg_w, msg_b, gru):
+        return jnp.sum(gru_window_step(h, lay, msg_w, msg_b, gru,
+                                       interpret=True) ** 2)
+
+    def loss_ref(h, msg_w, msg_b, gru):
+        a = aggregate_window(h, lay, msg_w, msg_b, interpret=True)
+        return jnp.sum(gru_update(gru, h, a) ** 2)
+
+    args = (h, prop["msg_w"], prop["msg_b"], prop["gru"])
+    vf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for got, ref in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
