@@ -1880,7 +1880,8 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
 
 
 def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
-                    interpret: bool | None = None, quantized: bool = False):
+                    interpret: bool | None = None, quantized: bool = False,
+                    extra_init=None):
     """One full propagation step h → h' through the fused kernel:
     table kernel → spill partial aggregation → fused window-accumulate +
     GRU epilogue.  Numerically the gate matmuls run bf16-in/f32-acc when
@@ -1896,7 +1897,12 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     ``quantized``: int8 table with power-of-2 per-window scales
     (node_table_block_major_q8) — the serving quantization mode; needs a
     row_major='block' layout and D % 128 == 0.  Adds ~0.5 % relative
-    noise to the aggregation (int8 rounding).  Forward-only."""
+    noise to the aggregation (int8 rounding).  Forward-only.
+
+    ``extra_init`` [R ≤ n_rows, D]: an externally-computed partial
+    aggregation added into ``a`` before the GRU epilogue (the sharded
+    halo path's remote-edge contribution) — differentiable (its
+    cotangent is da's leading rows).  Not supported with quantized."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
@@ -1916,6 +1922,9 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     b3 = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]])[None, :]
     uzr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
     if quantized:
+        if extra_init is not None:
+            raise ValueError("extra_init is not supported with quantized "
+                             "serving")
         if row_major != "block":
             raise ValueError("quantized serving needs row_major='block'")
         if pack_fwd:
@@ -1949,12 +1958,14 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             packed=pack_fwd, has_init=has_init, interpret=interpret,
             scales=scales, c_off=arrs.get("c_off"))
         return h_new[:N]
+    if extra_init is None:
+        extra_init = jnp.zeros((0, D), jnp.float32)
     return _fused_gru_step(layout.meta, interpret, arrs, h, msg_w, msg_b,
-                           wa, b3, uzr, gru["uh"])[:N]
+                           wa, b3, uzr, gru["uh"], extra_init)[:N]
 
 
 def _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
-                     uh, emit_res):
+                     uh, extra, emit_res):
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
      block_rows) = meta[:8]
     pack_fwd = meta[8][0] if len(meta) > 8 else False
@@ -1972,12 +1983,18 @@ def _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
         if pad:
             table = jnp.pad(table, ((0, pad), (0, 0)))
     n_rows = n_blocks * block_rows
-    has_init = spill_meta is not None
-    if has_init:
+    has_init = spill_meta is not None or extra.shape[0] > 0
+    if spill_meta is not None:
         init = _spill_partial(h.astype(cdt), table, arrs, spill_meta,
                               msg_w, msg_b, interpret)
     else:
         init = jnp.zeros((n_rows, D), jnp.float32)
+    if extra.shape[0] > 0:
+        # externally-computed partial aggregation folded into the kernel's
+        # init stream (the sharded halo path's remote-edge contribution) —
+        # the GRU epilogue still sees the complete a
+        init = init + jnp.pad(extra.astype(jnp.float32),
+                              ((0, n_rows - extra.shape[0]), (0, 0)))
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
     return window_step_gru(
         table, arrs["c_stream"], arrs["tile_start"], arrs["block_of_tile"],
@@ -1992,25 +2009,28 @@ def _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fused_gru_step(meta, interpret, arrs, h, msg_w, msg_b, wa, b3, uzr,
-                    uh):
+                    uh, extra):
     return _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b, wa, b3,
-                            uzr, uh, emit_res=False)
+                            uzr, uh, extra, emit_res=False)
 
 
 def _fused_gru_step_fwd(meta, interpret, arrs, h, msg_w, msg_b, wa, b3,
-                        uzr, uh):
+                        uzr, uh, extra):
     h_new, resid = _fused_step_impl(meta, interpret, arrs, h, msg_w, msg_b,
-                                    wa, b3, uzr, uh, emit_res=True)
+                                    wa, b3, uzr, uh, extra, emit_res=True)
     cdt = msg_w.dtype
     # h saved narrow (its consumers are matmuls + elementwise vs the
     # already-narrow gates — same policy as models.ggnn._gru_core_fwd)
+    # 0-byte witness carrying extra's static row count + dtype for the
+    # d_extra cotangent
+    e_wit = jnp.zeros((extra.shape[0], 0), extra.dtype)
     return h_new, (arrs, h.astype(cdt), msg_w, wa, uzr, uh, resid,
-                   jnp.zeros((), h.dtype))
+                   jnp.zeros((), h.dtype), e_wit)
 
 
 def _fused_gru_step_bwd(meta, interpret, res, g):
     from ggnn_tpu.ops.gru_pallas import gru_cell_bwd
-    arrs, hc, msg_w, wa, uzr, uh, resid, h_wit = res
+    arrs, hc, msg_w, wa, uzr, uh, resid, h_wit, e_wit = res
     N, D = hc.shape
     if N % 128 or D % 128:
         raise ValueError("the fused window+GRU step takes gradients only "
@@ -2031,9 +2051,11 @@ def _fused_gru_step_bwd(meta, interpret, res, g):
     d_arrs, dh2, dW, dbm = _aggregate_window_bwd(
         meta, interpret, (arrs, hc, msg_w), da)
     dh = (dh1 + dh2.astype(jnp.float32)).astype(h_wit.dtype)
+    # extra init enters a additively: its cotangent is da's leading rows
+    d_extra = da[:e_wit.shape[0]].astype(e_wit.dtype)
     return (d_arrs, dh, dW, dbm, dwa.astype(wa.dtype),
             db3.reshape(1, -1).astype(jnp.float32),
-            duzr.astype(uzr.dtype), duh.astype(uh.dtype))
+            duzr.astype(uzr.dtype), duh.astype(uh.dtype), d_extra)
 
 
 _fused_gru_step.defvjp(_fused_gru_step_fwd, _fused_gru_step_bwd)

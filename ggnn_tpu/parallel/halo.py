@@ -163,16 +163,26 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                 # (no per-edge random access; reads h_local only, so the
                 # all-to-all overlaps it); remote edges via the halo pool
                 from ggnn_tpu.ops.window_pallas import (DeviceWindowLayout,
-                                                        aggregate_window)
+                                                        aggregate_window,
+                                                        gru_window_step)
                 wlay = DeviceWindowLayout(
                     meta=lay_meta["full_meta"], arrays=karr_l)
-                a_loc = aggregate_window(
-                    h_local.astype(cdt), wlay, prop["msg_w"].astype(cdt),
-                    prop["msg_b"].astype(cdt), interpret=interpret)
                 a_rem = typed_aggregate(
                     h_src_pool, rem["src"][0], rem["dst"][0], rem["type"][0],
                     rem["mask"][0], prop["msg_w"], prop["msg_b"],
                     strategy=cfg.agg_strategy)[:n_local]
+                if cfg.fuse_gru:
+                    # fused window+GRU step per shard (trainable custom
+                    # VJP); the remote-edge partial rides the kernel's
+                    # init stream so the epilogue sees the complete a
+                    h_new = gru_window_step(
+                        h_local, wlay, prop["msg_w"].astype(cdt),
+                        prop["msg_b"].astype(cdt), prop["gru"],
+                        interpret=interpret, extra_init=a_rem)
+                    return h_new, None
+                a_loc = aggregate_window(
+                    h_local.astype(cdt), wlay, prop["msg_w"].astype(cdt),
+                    prop["msg_b"].astype(cdt), interpret=interpret)
                 a = a_loc[:n_local] + a_rem
             elif strategy == "halo_overlap":
                 # SURVEY.md §5.7: local-edge aggregation reads h_local only

@@ -35,4 +35,17 @@ python -u bench.py --backend window --communities 512 --block_rows 512 \
     --dtype bfloat16 --iters 3 --warmup 1 --mode train --fuse_gru \
     --xw_spill > /tmp/bench_r2_F5_fusedtrain_table.log 2>&1
 
+
+
+# E3: 1M-node / 20M-edge single-chip TRAINING, chain 1 (the chain-2
+# compile crashed the remote compile helper with HTTP 500 after ~80 min
+# -- round-4's chain>=5 failure mode now appears at chain 2 for train at
+# this scale).  chain 1 carries the ~27.6 ms fetch roundtrip on a ~1.4 s
+# call: ~2% inflation, acceptable.
+python -u bench.py --nodes 1000000 --edges 10000000 --types 8 \
+    --communities 4096 --backend window --block_rows 256 --window 512 \
+    --dtype bfloat16 --iters 3 --warmup 1 --mode train --on_demand --remat \
+    --chain 1 > /tmp/bench_r2_E3_1m_train.log 2>&1
+
+
 echo DONE > /tmp/bench_r2_experiments3.done

@@ -415,3 +415,55 @@ def test_sharded_graph_gated_training_matches_single_device(rng):
         got = float(m2["loss_sum"]) / float(m2["count"])
         np.testing.assert_allclose(got, ref_losses[i], rtol=2e-4,
                                    err_msg=f"step {i}")
+
+
+def test_sharded_train_fused_window_step(rng):
+    """halo_window sharded TRAINING through the FUSED window+GRU step
+    (cfg.fuse_gru=True: the per-shard emit_res custom VJP, with the
+    remote-edge partial riding the kernel's init stream) — loss and one
+    optimizer step match single-device training.  Needs n_local % 128
+    == 0 and D % 128 == 0 (1024 nodes / 8 shards, D=128)."""
+    import optax
+
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel import make_sharded_train_step
+    from ggnn_tpu.parallel.partition import (build_halo_window_layouts,
+                                             split_local_remote)
+
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=7,
+                        node_mult=1024, n_communities=8, p_intra=0.7)
+    cfg = ModelConfig(state_dim=128, annotation_dim=2, n_edge_types=3,
+                      n_steps=3, backend="window", fuse_gru=True)
+    # reference runs the plain XLA path with the SAME params
+    cfg_ref = ModelConfig(state_dim=128, annotation_dim=2, n_edge_types=3,
+                          n_steps=3)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    prop = params["prop"]
+    parts = split_local_remote(partition_batch(b, 8))
+    arrays, meta = build_halo_window_layouts(
+        parts, window=128, min_edges_per_tile=4, spill_tile_e=16,
+        n_message_types=cfg.n_message_types, with_grad=True,
+        row_major="block")
+
+    optimizer = optax.adam(1e-2)
+    opt0 = optimizer.init(prop)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(cfg, mesh, optimizer,
+                                   strategy="halo_window", halo_meta=meta)
+    new_prop, _, loss_sh = step(prop, opt0, parts, arrays)
+
+    import jax.numpy as jnp
+
+    def loss_single(p):
+        h = propagate(p, cfg_ref, jnp.asarray(b.annotations),
+                      jnp.asarray(b.edge_src), jnp.asarray(b.edge_dst),
+                      jnp.asarray(b.edge_type), jnp.asarray(b.edge_mask))
+        return jnp.sum(h * h)
+
+    loss_ref, g_ref = jax.value_and_grad(loss_single)(prop)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    upd_ref, _ = optimizer.update(g_ref, optimizer.init(prop), prop)
+    ref_prop = optax.apply_updates(prop, upd_ref)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
+        new_prop, ref_prop)

@@ -20,8 +20,9 @@ requires_tpu = pytest.mark.skipif(
 
 # (name, extra bench.py args, threshold edges/s) — thresholds ≈ 80% of
 # the round-2 driver-round measurements: uniform fwd 252.8M / uniform
-# train 104.1M / community fwd 870.7M (fuse_gru + on_demand) / community
-# train 252.8M (on_demand) / scale-free fwd 208.8M (on_demand).
+# train 104.9M / community fwd 870.7M (fuse_gru + on_demand) / community
+# train 269.4M (fused trainable step + on_demand) / scale-free fwd
+# 209.0M (on_demand).
 CASES = [
     ("uniform_fwd_onehot",
      ["--backend", "onehot"], 202e6),
@@ -32,7 +33,7 @@ CASES = [
       "--fuse_gru", "--on_demand"], 696e6),
     ("community_train_window",
      ["--backend", "window", "--communities", "512", "--block_rows", "512",
-      "--mode", "train", "--on_demand"], 202e6),
+      "--mode", "train", "--on_demand", "--fuse_gru"], 215e6),
     ("scalefree_fwd_window",
      ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
 ]
