@@ -293,7 +293,9 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
                               spill_tile_e: int = 512,
                               n_message_types: int | None = None,
                               with_grad: bool = False,
-                              row_major: str = "src"):
+                              row_major: str = "src",
+                              typed_spill: bool = False,
+                              on_demand: bool = False):
     """Per-shard WINDOWED layouts over the shard-LOCAL edges for the
     'halo_window' strategy: community-partitioned shards aggregate their
     intra-shard edges through the block-CSR windowed kernel
@@ -311,6 +313,13 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     and, when ``(T2·128) % window == 0``, the fused backward that reads
     the forward count stream.
 
+    ``typed_spill`` / ``on_demand`` select the XW (no-table) spill and
+    on-demand table windows per shard (on_demand needs
+    row_major='block', window % 128 == 0, (T2·128) % window == 0, and
+    implies typed_spill); the XW type-bucket offsets are static meta, so
+    they are pinned to the cross-shard maximum (via spill_bwd_bucket,
+    which the forward buckets share) to keep the stacked metas equal.
+
     Returns (stacked_arrays: dict of [P, ...] arrays, meta: dict) — all
     shards padded to common static shapes (tile counts and spill packs)."""
     from ggnn_tpu.ops.scatter_pallas import BLOCK_N, static_tile_budget
@@ -327,6 +336,9 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
         n_message_types = int(max(
             int(parts.edge_type[s].max(initial=0)) for s in range(P))) + 1
 
+    if on_demand and not typed_spill:
+        typed_spill = True  # on_demand layouts have no table to gather
+
     def build(s, pad=None, spad=None, gt_pad=None, sb_bucket=None,
               sb_tile=None, sb_pad=None):
         return build_window_layout(
@@ -336,7 +348,8 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
             row_major=row_major, pad_tiles_to=pad, spill_pad_tiles_to=spad,
             force_spill=True, with_grad=with_grad,
             gt_pad_tiles_to=gt_pad, spill_bwd_bucket=sb_bucket,
-            spill_bwd_tile_e=sb_tile, spill_bwd_pad_tiles_to=sb_pad)
+            spill_bwd_tile_e=sb_tile, spill_bwd_pad_tiles_to=sb_pad,
+            typed_spill=typed_spill, on_demand=on_demand)
 
     first = [build(s) for s in range(P)]
     n_tiles = max(l.n_tiles for l in first)
@@ -346,12 +359,23 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     # unless spill_pad_tiles_to pins it (stacking ragged s_gather_idx
     # raised ValueError when shards spilled unevenly)
     pins = {}
+    if typed_spill:
+        # the XW spill's type-bucket offsets are STATIC meta (one meta
+        # serves every stacked shard) — pin the bucket width to the
+        # cross-shard maximum; build_window_layout applies
+        # spill_bwd_bucket to the forward XW buckets too
+        xw_offs = [l.meta[4][-1] for l in first]
+        pins["sb_bucket"] = max(
+            max(o[t + 1] - o[t] for t in range(len(o) - 1))
+            for o in xw_offs)
     if with_grad:
         pins["gt_pad"] = max(l.arrays["gt_block_of_tile"].shape[0]
                              for l in first)
         offs = [l.grad_meta[2] for l in first]
-        pins["sb_bucket"] = max(max(o[t + 1] - o[t] for t in range(len(o) - 1))
-                                for o in offs)
+        pins["sb_bucket"] = max(
+            pins.get("sb_bucket", 0),
+            max(max(o[t + 1] - o[t] for t in range(len(o) - 1))
+                for o in offs))
         sb_metas = [l.grad_meta[3] for l in first]
         if any(m is not None for m in sb_metas):
             pins["sb_tile"] = max(m[1] for m in sb_metas if m is not None)

@@ -417,12 +417,15 @@ def test_sharded_graph_gated_training_matches_single_device(rng):
                                    err_msg=f"step {i}")
 
 
-def test_sharded_train_fused_window_step(rng):
+@pytest.mark.parametrize("on_demand", [False, True])
+def test_sharded_train_fused_window_step(rng, on_demand):
     """halo_window sharded TRAINING through the FUSED window+GRU step
     (cfg.fuse_gru=True: the per-shard emit_res custom VJP, with the
     remote-edge partial riding the kernel's init stream) — loss and one
     optimizer step match single-device training.  Needs n_local % 128
-    == 0 and D % 128 == 0 (1024 nodes / 8 shards, D=128)."""
+    == 0 and D % 128 == 0 (1024 nodes / 8 shards, D=128).  on_demand
+    additionally pins the XW spill's type buckets across shards (the
+    offsets are static meta) and builds no table per shard."""
     import optax
 
     from ggnn_tpu.data.synthetic import synthetic_batch
@@ -441,9 +444,10 @@ def test_sharded_train_fused_window_step(rng):
     prop = params["prop"]
     parts = split_local_remote(partition_batch(b, 8))
     arrays, meta = build_halo_window_layouts(
-        parts, window=128, min_edges_per_tile=4, spill_tile_e=16,
+        parts, window=128, min_edges_per_tile=4,
+        spill_tile_e=(None if on_demand else 16),
         n_message_types=cfg.n_message_types, with_grad=True,
-        row_major="block")
+        row_major="block", on_demand=on_demand)
 
     optimizer = optax.adam(1e-2)
     opt0 = optimizer.init(prop)

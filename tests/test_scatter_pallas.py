@@ -109,6 +109,30 @@ def test_aggregate_onehot_edge_align(rng, tile_e, align):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_e", [16, 32])
+def test_aggregate_onehot_dstl_stream(rng, tile_e):
+    """dstl_stream layouts (one-hot SYNTHESIZED in-kernel from the
+    compact i32 dst-local stream) match the XLA path, and the side
+    stream really is the compact form (no int8 matrix)."""
+    N, E, T2, D = 256, 700, 6, 32
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_dst_block_layout(src, dst, typ, mask, N, tile_e=tile_e,
+                                 edge_align=16, dstl_stream=True)
+    assert lay.onehot is None and lay.dstl is not None
+    assert lay.dstl.dtype == np.int32
+    assert lay.dstl.shape[1] == tile_e
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask),
+                          params["prop"]["msg_w"], params["prop"]["msg_b"])
+    got = aggregate_onehot(h, lay, params["prop"]["msg_w"],
+                           params["prop"]["msg_b"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_variants_agree(rng):
     """All scatter kernel variants (id-based 2-D grid, int8-stream 2-D
     grid, flat 1-D grid, looped-DMA) produce identical results."""
