@@ -64,8 +64,11 @@ def build_args():
                          "(halves the dominant DMA stream; needs "
                          "window>=256)")
     ap.add_argument("--fuse_gru", action="store_true",
-                    help="backend=window fwd: GRU in the kernel epilogue "
-                         "(serving path)")
+                    help="backend=window: GRU in the kernel epilogue "
+                         "(fwd AND train via the emit_res custom VJP); "
+                         "the onehot typed path fuses by default")
+    ap.add_argument("--no_fuse", action="store_true",
+                    help="disable GRU fusion everywhere (A/B control)")
     ap.add_argument("--q8", action="store_true",
                     help="with --fuse_gru: int8-quantized node-transform "
                          "table (power-of-2 per-window scales, int8 MXU)")
@@ -140,8 +143,12 @@ def main() -> int:
                           compute_dtype=args.dtype,
                           remat=(args.remat and args.mode == "train"),
                           # the fused window+GRU step is trainable since
-                          # round 2 (emit_res custom VJP)
-                          fuse_gru=(fuse_gru and backend == "window"),
+                          # round 2 (emit_res custom VJP); the onehot
+                          # backend's typed path fuses by DEFAULT (its
+                          # training VJP recomputes unfused — zero cost)
+                          fuse_gru=((fuse_gru or backend == "onehot")
+                                    and not args.no_fuse
+                                    and backend in ("window", "onehot")),
                           quantized_table=(args.q8 and fuse_gru
                                            and backend == "window"
                                            and args.mode == "fwd"))

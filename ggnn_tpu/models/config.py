@@ -50,8 +50,10 @@ class ModelConfig:
             raise ValueError(
                 f"unknown backend {self.backend!r}: expected "
                 "'xla' | 'pallas' | 'onehot' | 'window'")
-        if self.fuse_gru and self.backend != "window":
-            raise ValueError("fuse_gru needs backend='window'")
+        if self.fuse_gru and self.backend not in ("window", "onehot"):
+            raise ValueError("fuse_gru needs backend='window' or 'onehot'")
+        if self.quantized_table and self.backend != "window":
+            raise ValueError("quantized_table needs backend='window'")
         if self.quantized_table and not self.fuse_gru:
             raise ValueError("quantized_table needs fuse_gru=True")
         if self.edge_gates and self.backend in ("onehot", "window"):

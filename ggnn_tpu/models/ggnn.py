@@ -176,6 +176,66 @@ def fuse_gru(gru: dict) -> tuple:
     return w_a, b_all, u_zr
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
+                      b_all, u_zr, uh):
+    """Fused typed-pack aggregation + GRU step (onehot backend,
+    ``cfg.fuse_gru``): the PRIMAL runs ops.scatter_pallas.typed_step_gru
+    — the GRU executes in the scatter kernel's epilogue on the
+    VMEM-resident aggregation, so serving skips the [N, D] a round-trip
+    and the separate GRU pass (~3.6 ms/step at 262K/D=128).  The VJP's
+    fwd rule recomputes the UNFUSED composition (identical math, the
+    residuals the existing backwards need), so training costs exactly
+    what the unfused path does."""
+    from ggnn_tpu.ops.scatter_pallas import BLOCK_N, typed_step_gru
+    n_nodes_pad, tile_e = meta[0], meta[1]
+    n_blocks, edge_align = meta[3], meta[6]
+    N, D = h.shape
+    cdt = jnp.dtype(mdt) if mdt is not None else jnp.dtype(jnp.float32)
+    h_pack = h.astype(cdt)[arrs["gather_idx"]]
+    bias = jnp.einsum("tn,td->nd", arrs["indeg"],
+                      msg_b.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    n_rows = n_blocks * BLOCK_N
+    h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
+    out = typed_step_gru(
+        h_pack, arrs["dstl"], arrs["tile_start"], arrs["block_of_tile"],
+        arrs["tile_msg_off"], arrs["c_off"], arrs["tile_type"],
+        msg_w.astype(cdt), bias, h_pad, w_a.astype(cdt),
+        b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
+        uh.astype(cdt), n_blocks=n_blocks, tile_e=tile_e,
+        align=edge_align, interpret=interpret)
+    return out[:N]
+
+
+def _typed_fused_step_fwd(meta, interpret, mdt, arrs, h, msg_w, msg_b,
+                          w_a, b_all, u_zr, uh):
+    from ggnn_tpu.ops.scatter_pallas import _aggregate_impl
+    a = _aggregate_impl(meta, interpret, arrs, h.astype(msg_w.dtype),
+                        msg_w, msg_b)
+    out, z, r, htil = _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a)
+    rdt = h.dtype if mdt is None else mdt
+    res = (arrs, h.astype(msg_w.dtype), msg_w, w_a, u_zr, uh,
+           jnp.zeros((), h.dtype), a.astype(rdt), jnp.zeros((), a.dtype),
+           z.astype(rdt), r.astype(rdt), htil.astype(rdt))
+    return out, res
+
+
+def _typed_fused_step_bwd(meta, interpret, mdt, res, g):
+    from ggnn_tpu.ops.scatter_pallas import _aggregate_bwd
+    (arrs, hc, msg_w, w_a, u_zr, uh, h_wit, a, a_wit, z, r, htil) = res
+    gres = (w_a, u_zr, uh, hc, h_wit, a, a_wit, z, r, htil)
+    dwa, db3, duzr, duh, dh1, da = _gru_core_bwd(mdt, gres, g)
+    d_arrs, dh2, dW, dbm = _aggregate_bwd(
+        meta, interpret, (arrs, hc, msg_w), da.astype(jnp.float32))
+    dh = (dh1.astype(jnp.float32) + dh2.astype(jnp.float32)
+          ).astype(h_wit.dtype)
+    return (d_arrs, dh, dW, dbm, dwa, db3, duzr, duh)
+
+
+_typed_fused_step.defvjp(_typed_fused_step_fwd, _typed_fused_step_bwd)
+
+
 def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
               edge_src: jax.Array, edge_dst: jax.Array, edge_type: jax.Array,
               edge_mask: jax.Array, h0: jax.Array | None = None,
@@ -241,6 +301,31 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
             scatter_layout = build_dst_block_layout(
                 np.asarray(edge_src), np.asarray(edge_dst),
                 np.asarray(edge_type), np.asarray(edge_mask), h.shape[0])
+
+        from ggnn_tpu.ops.scatter_pallas import DeviceScatterLayout
+        if (cfg.fuse_gru
+                and isinstance(scatter_layout, DeviceScatterLayout)
+                and len(scatter_layout.meta) > 7
+                and scatter_layout.meta[7] == "typed"):
+            # fused typed step: GRU in the scatter kernel's epilogue
+            # (serving); training recomputes the unfused composition in
+            # the custom VJP's fwd rule — same cost as fuse_gru=False.
+            # Gate matmuls run in the compute dtype on this path.
+            itp = jax.default_backend() != "tpu"
+            mdt_f = (jnp.dtype(cdt).name
+                     if cdt != jnp.dtype(jnp.float32) else None)
+
+            def step(h, _):
+                h_new = _typed_fused_step(
+                    scatter_layout.meta, itp, mdt_f, scatter_layout.arrays,
+                    h, msg_w_c, msg_b_c, *fused, prop["gru"]["uh"])
+                return h_new, h_new if collect_states else None
+
+            if cfg.remat and not collect_states:
+                step = jax.checkpoint(step)
+            h_final, states = jax.lax.scan(step, h, None,
+                                           length=cfg.n_steps)
+            return (h_final, states) if collect_states else h_final
 
         def step(h, _):
             a = aggregate_onehot(h.astype(cdt), scatter_layout, msg_w_c,

@@ -236,3 +236,48 @@ def test_typed_pack_aggregate_parity(rng, tile_e):
     for a, c, name in zip(g_new, g_ref, ("dh", "dW", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_typed_fused_step_parity_and_grads(rng):
+    """Fused typed step (onehot backend + cfg.fuse_gru: GRU in the
+    scatter kernel's epilogue, custom VJP whose fwd rule recomputes the
+    unfused composition) — the T-step propagation matches the unfused
+    onehot path in value AND in value_and_grad for every parameter."""
+    from ggnn_tpu.models import propagate
+    from ggnn_tpu.ops.scatter_pallas import build_typed_dst_layout
+    N, E, T, D = 512, 3000, 3, 128
+    T2 = 2 * T
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    typ = rng.integers(0, T2, E).astype(np.int32)
+    mask = (rng.random(E) < 0.9).astype(np.float32)
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                 with_grad=True)
+    mk = dict(state_dim=D, annotation_dim=4, n_edge_types=T, n_steps=3,
+              backend="onehot")
+    cfg_f = ModelConfig(**mk, fuse_gru=True)
+    cfg_u = ModelConfig(**mk)
+    params = init_params(jax.random.PRNGKey(0), cfg_u)
+    ann = jnp.asarray((np.random.default_rng(1).random((N, 4)) < 0.4)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+
+    # serving value: primal fused kernel vs unfused path
+    got = propagate(params["prop"], cfg_f, *args, scatter_layout=lay)
+    ref = propagate(params["prop"], cfg_u, *args, scatter_layout=lay)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(cfg):
+        def f(p):
+            h = propagate(p, cfg, *args, scatter_layout=lay)
+            return jnp.sum(h * h)
+        return f
+
+    vf, gf = jax.value_and_grad(loss(cfg_f))(params["prop"])
+    vr, gr = jax.value_and_grad(loss(cfg_u))(params["prop"])
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for a_, b_ in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
