@@ -37,9 +37,12 @@ class ModelConfig:
                                   # path node per round, paper's alternative)
     agg_strategy: str = "node_transform"   # ops.segment strategy
     backend: str = "xla"          # 'xla' | 'pallas' | 'onehot' | 'window'
-    fuse_gru: bool = False        # backend='window' forward: run the GRU in
-                                  # the window kernel's epilogue (serving
-                                  # path; gate matmuls bf16-in/f32-acc)
+    fuse_gru: bool = False        # backend='window'|'onehot': run the GRU
+                                  # in the aggregation kernel's epilogue
+                                  # (gate matmuls in the compute dtype).
+                                  # TRAINABLE: window via the emit_res
+                                  # custom VJP; onehot's VJP recomputes
+                                  # the unfused composition (same cost)
     quantized_table: bool = False  # fuse_gru serving: int8 node-transform
                                   # table with power-of-2 per-window scales
                                   # (int8 MXU dots; ~0.5% aggregation noise)
