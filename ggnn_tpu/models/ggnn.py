@@ -327,6 +327,18 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
                                            length=cfg.n_steps)
             return (h_final, states) if collect_states else h_final
 
+        if cfg.fuse_gru:
+            # ADVICE r2: don't let a fuse request silently measure the
+            # unfused path (e.g. the legacy table-gather layout cannot
+            # fuse — only the round-4 typed pack carries the GRU epilogue)
+            import warnings
+            warnings.warn(
+                "fuse_gru requested with backend='onehot' but the scatter "
+                "layout is not a typed DeviceScatterLayout (legacy "
+                "table-gather / chunked layouts cannot fuse); running the "
+                "UNFUSED step. Build the layout with "
+                "build_typed_dst_layout(...) to fuse.", stacklevel=2)
+
         def step(h, _):
             a = aggregate_onehot(h.astype(cdt), scatter_layout, msg_w_c,
                                  msg_b_c)

@@ -1899,12 +1899,22 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     row_major='block' layout and D % 128 == 0.  Adds ~0.5 % relative
     noise to the aggregation (int8 rounding).  Forward-only.
 
-    ``extra_init`` [R ≤ n_rows, D]: an externally-computed partial
+    ``extra_init`` [R ≤ N, D]: an externally-computed partial
     aggregation added into ``a`` before the GRU epilogue (the sharded
     halo path's remote-edge contribution) — differentiable (its
-    cotangent is da's leading rows).  Not supported with quantized."""
+    cotangent is da's leading rows, so R must not exceed N = h.shape[0];
+    the halo path always satisfies this).  Not supported with
+    quantized."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if extra_init is not None and extra_init.shape[0] > h.shape[0]:
+        # the backward slices d_extra = da[:R] out of da's N rows — more
+        # rows than N would silently clip and surface later as an opaque
+        # cotangent shape mismatch (ADVICE r2)
+        raise ValueError(
+            f"extra_init has {extra_init.shape[0]} rows > h's "
+            f"{h.shape[0]}; the fused step's cotangent for extra_init "
+            "is a leading slice of da [N, D]")
     (n_nodes_pad, W, n_tiles, n_blocks, spill_meta, row_major, _,
      block_rows) = layout.meta[:8]
     pack_fwd = layout.meta[8][0] if len(layout.meta) > 8 else False

@@ -345,11 +345,12 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
         typed_spill = True  # on_demand layouts have no table to gather
 
     def build(s, pad=None, spad=None, gt_pad=None, sb_bucket=None,
-              sb_tile=None, sb_pad=None):
+              sb_tile=None, sb_pad=None, stile=None):
         return build_window_layout(
             loc["src"][s], loc["dst"][s], loc["type"][s], loc["mask"][s],
             n_local, window=window, min_edges_per_tile=min_edges_per_tile,
-            spill_tile_e=spill_tile_e, n_message_types=n_message_types,
+            spill_tile_e=(stile if stile is not None else spill_tile_e),
+            n_message_types=n_message_types,
             row_major=row_major, pad_tiles_to=pad, spill_pad_tiles_to=spad,
             force_spill=True, with_grad=with_grad,
             gt_pad_tiles_to=gt_pad, spill_bwd_bucket=sb_bucket,
@@ -364,6 +365,14 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
     # unless spill_pad_tiles_to pins it (stacking ragged s_gather_idx
     # raised ValueError when shards spilled unevenly)
     pins = {}
+    if spill_tile_e is None:
+        # pin the density-derived spill tile to the cross-shard MAXIMUM:
+        # otherwise each shard's median-occupancy heuristic can pick a
+        # different power of two and the stacked metas diverge (the
+        # assert below would fire with an unhelpful message)
+        stiles = [l.meta[4][1] for l in first if l.meta[4] is not None]
+        if stiles:
+            pins["stile"] = max(stiles)
     if typed_spill:
         # the XW spill's type-bucket offsets are STATIC meta (one meta
         # serves every stacked shard) — pin the bucket width to the
