@@ -82,7 +82,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                       parts: PartitionedBatch, strategy: str = "halo",
                       axis_name: str = "graph", scatter_tile_e: int = 512,
                       interpret: bool | None = None, halo_layouts=None,
-                      node_fn=None, node_fn_args=()):
+                      node_fn=None, node_fn_args=(), body_fn=None):
     """Run T sharded propagation steps; returns h sharded as [n_pad, D].
 
     ``parts`` arrays cross into shard_map with their leading [P] axis
@@ -101,7 +101,17 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     cross-shard collectives — see :func:`sharded_node_select_loss`); its
     output replaces h (every leaf gains a leading per-shard axis).
     ``node_fn_args`` is an arbitrary replicated pytree (head params,
-    targets)."""
+    targets).
+
+    ``body_fn(run_steps, ann_local, node_graph_local, node_mask_local,
+    node_fn_args, axis_name) -> pytree`` replaces the whole per-shard
+    model body instead: ``run_steps(h0_local) -> h_final_local`` runs the
+    T-step strategy recurrence from an arbitrary initial state and may be
+    called repeatedly — the hook the sharded GGS-NN round scan uses
+    (re-propagate from the rewritten annotations each round,
+    :func:`sharded_ggsnn_losses`).  Mutually exclusive with node_fn."""
+    if body_fn is not None and node_fn is not None:
+        raise ValueError("pass node_fn or body_fn, not both")
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy in ("halo_overlap", "halo_window") \
@@ -216,7 +226,15 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
             h_new = gru_update(prop["gru"], h_local, a, fused)
             return h_new, None
 
-        h_final, _ = jax.lax.scan(step, h0, None, length=cfg.n_steps)
+        def run_steps(h_init):
+            h_final, _ = jax.lax.scan(step, h_init, None,
+                                      length=cfg.n_steps)
+            return h_final
+
+        if body_fn is not None:
+            out = body_fn(run_steps, ann, ngraph, nmask, nfa, axis_name)
+            return jax.tree.map(lambda x: x[None], out)
+        h_final = run_steps(h0)
         if node_fn is not None:
             out = node_fn(h_final, ann, ngraph, nmask, nfa, axis_name)
             return jax.tree.map(lambda x: x[None], out)
@@ -245,7 +263,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                 parts.edge_src_global, parts.edge_src_halo,
                 parts.edge_dst_local, parts.edge_type, parts.edge_mask,
                 parts.halo_send_idx, loc, rem, karr, node_fn_args)
-    if node_fn is not None:
+    if node_fn is not None or body_fn is not None:
         return out
     return out.reshape(-1, out.shape[-1])
 
@@ -397,18 +415,203 @@ def sharded_graph_gated_loss(head: dict, h, ann, node_graph, node_mask,
             jnp.sum(graph_mask))
 
 
+def sharded_per_node_loss(head: dict, h, ann, node_mask, labels_full,
+                          axis_name: str):
+    """Per-node classification CE over PARTITIONED nodes (C7b sharded):
+    logits and NLL are purely local per shard; only the three normalizing
+    sums (nll, valid count, correct count) cross the mesh via ``psum``.
+    ``labels_full`` is the replicated [n_pad] label vector (−1 =
+    unlabeled/padding) — each shard slices its own n_local rows.  Mirrors
+    :func:`ggnn_tpu.models.heads.per_node_loss` exactly."""
+    from ggnn_tpu.models import heads as H
+
+    n_local = h.shape[0]
+    base = jax.lax.axis_index(axis_name) * n_local
+    labels = jax.lax.dynamic_slice_in_dim(labels_full, base, n_local)
+    logits = H.per_node_logits(head, h, ann)
+    valid = (labels >= 0) & (node_mask > 0)
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+    nll_sum = jax.lax.psum(jnp.sum(jnp.where(valid, nll, 0.0)), axis_name)
+    n_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), axis_name)
+    loss = nll_sum / jnp.maximum(n_valid, 1.0)
+    correct = (jnp.argmax(logits, axis=-1) == labels) & valid
+    correct_sum = jax.lax.psum(jnp.sum(correct.astype(jnp.float32)),
+                               axis_name)
+    return loss, correct_sum, n_valid
+
+
+def _sharded_round_node_nll(head: dict, h, X, node_graph, node_mask,
+                            tgt_global, valid, n_graphs: int,
+                            axis_name: str):
+    """One GGS-NN round's node-selection NLL + argmax over PARTITIONED
+    graphs: the same stable cross-shard segment-softmax as
+    :func:`sharded_node_select_loss`, with per-round validity (``valid`` =
+    target exists this round).  Returns (nll [G] — zero where invalid,
+    pred [G] global argmax ids)."""
+    from ggnn_tpu.models import heads as H
+
+    n_local = h.shape[0]
+    base = jax.lax.axis_index(axis_name) * n_local
+    scores = H.node_select_scores(head, h, X)
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(node_mask > 0, scores, neg)
+    seg = functools.partial(jax.ops.segment_sum, num_segments=n_graphs + 1)
+    gmax = jax.lax.pmax(
+        jax.ops.segment_max(jax.lax.stop_gradient(masked), node_graph,
+                            num_segments=n_graphs + 1),
+        axis_name)
+    shift = jnp.where(node_mask > 0, scores - gmax[node_graph], 0.0)
+    ex = jnp.where(node_mask > 0, jnp.exp(shift), 0.0)
+    sumexp = jax.lax.psum(seg(ex, node_graph), axis_name)
+    in_shard = (tgt_global >= base) & (tgt_global < base + n_local)
+    tloc = jnp.clip(tgt_global - base, 0, n_local - 1)
+    t_score = jax.lax.psum(
+        jnp.where(in_shard, scores[tloc], 0.0), axis_name)
+    logp_t = jnp.where(valid,
+                       t_score - gmax[:n_graphs]
+                       - jnp.log(jnp.maximum(sumexp[:n_graphs], 1e-30)),
+                       0.0)
+    idx = base + jnp.arange(n_local, dtype=jnp.int32)
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    is_max = (masked == gmax[node_graph]) & (node_mask > 0)
+    pred = jax.lax.pmin(
+        jax.ops.segment_min(jnp.where(is_max, idx, big), node_graph,
+                            num_segments=n_graphs + 1)[:n_graphs],
+        axis_name)
+    return -logp_t, pred
+
+
+def sharded_ggsnn_losses(cfg: ModelConfig, run_steps, ann, node_graph,
+                         node_mask, nfa, n_graphs: int, axis_name: str):
+    """Sharded GGS-NN (C7d, SURVEY.md §3.4): the annotation-rewrite round
+    scan runs INSIDE the shard_map — per round k: re-propagate T steps
+    from h = pad(X^{(k)}, D) via ``run_steps``, emit the round output
+    (``cfg.ggsnn_output='node'``: cross-shard segment-softmax node
+    selection; ``'graph'``: psum'd gated pool → replicated token
+    classifier), rewrite X^{(k+1)} = σ(F_x([h ; X^{(k)}])) locally.  Node
+    states and annotations never leave their shard; per round the only
+    collectives are the softmax/pool reductions (O(G) / O(G·V) scalars)
+    plus whatever the propagation strategy exchanges.
+
+    ``nfa`` (replicated): ``out`` / ``ann_net`` round params (leading-K
+    stacked when ``cfg.share_round_nets=False``), ``n_nodes`` [G], the
+    targets (``seq`` [G, K] token ids or ``seq_nodes`` [G, K] local node
+    ids, −1 past each sequence's end), and optionally ``ann_seq``
+    [n_pad, K, A] for GGS-NN-opt annotation supervision (each shard
+    slices its rows).  Returns ``stack([loss, seq_correct_sum,
+    graph_count])`` — identical replicated scalars on every shard,
+    matching :func:`ggnn_tpu.models.api.loss_and_metrics`'s ggsnn
+    branch (pinned by tests/test_distributed.py)."""
+    from ggnn_tpu.models import heads as H
+    from ggnn_tpu.models.ggsnn import annotation_update
+
+    n_local = ann.shape[0]
+    n_nodes = nfa["n_nodes"]
+    graph_mask = (n_nodes > 0)
+    use_node = cfg.ggsnn_output == "node"
+    tgt = nfa["seq_nodes"] if use_node else nfa["seq"]      # [G, K]
+    tgt_T = tgt.T                                           # [K, G]
+    use_sup = cfg.ann_supervision and nfa.get("ann_seq") is not None
+    xs = {"tgt": tgt_T}
+    if not cfg.share_round_nets:
+        xs["out"] = nfa["out"]
+        xs["ann_net"] = nfa["ann_net"]
+    if use_sup:
+        base = jax.lax.axis_index(axis_name) * n_local
+        # [n_pad, K, A] → this shard's rows, round-major for the scan
+        ann_loc = jax.lax.dynamic_slice_in_dim(nfa["ann_seq"], base,
+                                               n_local)
+        xs["ann_tgt"] = jnp.transpose(ann_loc, (1, 0, 2))   # [K, n_local, A]
+
+    if use_node:
+        offs = H.node_offsets(n_nodes)
+
+    def round_fn(carry, x):
+        X, nll_sum, valid_sum, seq_ok, bce_sum, w_sum = carry
+        out_p = x.get("out", nfa.get("out"))
+        ann_p = x.get("ann_net", nfa.get("ann_net"))
+        tgt_k = x["tgt"]                                     # [G]
+        valid_k = (tgt_k >= 0) & graph_mask
+        h = run_steps(init_state(X, cfg.state_dim))
+        if use_node:
+            tgt_global = offs + jnp.maximum(tgt_k, 0)
+            nll_k, pred = _sharded_round_node_nll(
+                out_p, h, X, node_graph, node_mask, tgt_global, valid_k,
+                n_graphs, axis_name)
+            step_ok = (pred == tgt_global) | ~valid_k
+        else:
+            hx = jnp.concatenate([h, X], axis=1)
+            gate = jax.nn.sigmoid(
+                jnp.dot(hx, out_p["gi_w"],
+                        preferred_element_type=jnp.float32)
+                + out_p["gi_b"])
+            val = jnp.tanh(
+                jnp.dot(hx, out_p["gj_w"],
+                        preferred_element_type=jnp.float32)
+                + out_p["gj_b"])
+            pooled = jax.lax.psum(
+                jax.ops.segment_sum(gate * val * node_mask[:, None],
+                                    node_graph,
+                                    num_segments=n_graphs + 1)[:n_graphs],
+                axis_name)
+            logits = H._mlp2(out_p, pooled, "c1", "c1b", "c2", "c2b")
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll_k = -jnp.take_along_axis(
+                logp, jnp.maximum(tgt_k, 0)[:, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            nll_k = jnp.where(valid_k, nll_k, 0.0)
+            step_ok = (jnp.argmax(logits, axis=-1) == tgt_k) | ~valid_k
+        X_next = annotation_update(ann_p, h, X) * node_mask[:, None]
+        if use_sup:
+            # GGS-NN-opt (paper §4): BCE on the rewritten annotations,
+            # weighted by round validity of each node's graph — local
+            # sums accumulate in the carry; one psum pair after the scan
+            t_k = x["ann_tgt"]                               # [n_local, A]
+            p = jnp.clip(X_next, 1e-6, 1.0 - 1e-6)
+            bce = -(t_k * jnp.log(p) + (1.0 - t_k) * jnp.log(1.0 - p))
+            w = valid_k.astype(p.dtype)[
+                jnp.clip(node_graph, 0, n_graphs - 1)] * node_mask
+            bce_sum = bce_sum + jnp.sum(bce * w[:, None])
+            w_sum = w_sum + jnp.sum(w)
+        return (X_next, nll_sum + jnp.sum(nll_k),
+                valid_sum + jnp.sum(valid_k.astype(jnp.float32)),
+                seq_ok & step_ok, bce_sum, w_sum), None
+
+    zero = jnp.zeros((), jnp.float32)
+    carry0 = (ann, zero, zero, jnp.ones((n_graphs,), bool), zero, zero)
+    (X, nll_sum, valid_sum, seq_ok, bce_sum, w_sum), _ = jax.lax.scan(
+        round_fn, carry0, xs, length=cfg.n_rounds)
+    loss = nll_sum / jnp.maximum(valid_sum, 1.0)
+    if use_sup:
+        loss = loss + cfg.ann_loss_weight \
+            * jax.lax.psum(bce_sum, axis_name) \
+            / jnp.maximum(jax.lax.psum(w_sum, axis_name), 1.0)
+    correct = jnp.sum((seq_ok & graph_mask).astype(jnp.float32))
+    count = jnp.sum(graph_mask.astype(jnp.float32))
+    return jnp.stack([loss, correct, count])
+
+
 def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
                                  n_graphs: int,
                                  strategy: str = "halo_overlap",
                                  axis_name: str = "graph",
                                  halo_meta=None):
     """End-to-end SHARDED task training (SURVEY.md §7.1 L4): the full
-    param tree (propagation + head) trains against a real task loss
-    computed INSIDE the shard_map with cross-shard collectives
-    (:func:`sharded_node_select_loss` / :func:`sharded_graph_gated_loss`),
-    so graphs may span shards.  ``targets`` carries the batch's replicated
-    per-graph arrays: ``{"n_nodes": [G]}`` plus ``"node"`` (node_select
-    local target ids) or ``"cls"`` (graph_gated class ids).
+    param tree (propagation + head/round nets) trains against a real task
+    loss computed INSIDE the shard_map with cross-shard collectives, so
+    graphs may span shards.  All four heads are implemented:
+
+    - ``node_select`` → :func:`sharded_node_select_loss` (targets:
+      ``{"n_nodes": [G], "node": [G]}`` local target ids),
+    - ``graph_gated`` → :func:`sharded_graph_gated_loss` (``"cls"`` [G]),
+    - ``per_node`` → :func:`sharded_per_node_loss` (``"node_labels"``
+      [n_pad] replicated; each shard slices its rows),
+    - ``ggsnn`` → :func:`sharded_ggsnn_losses` (the annotation-rewrite
+      round scan inside the shard_map; ``"seq"``/``"seq_nodes"`` [G, K]
+      and optionally ``"ann_seq"`` [n_pad, K, A] for GGS-NN-opt).
 
     Returns ``train_step(params, opt_state, parts, targets,
     halo_arrays=None) -> (params, opt_state, metrics)``; metrics are the
@@ -417,21 +620,26 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
     (pinned by tests/test_distributed.py)."""
     import optax
 
-    if cfg.head not in ("node_select", "graph_gated"):
-        raise ValueError(
-            "sharded task training implements the node_select and "
-            f"graph_gated heads (got {cfg.head!r})")
+    if cfg.head not in ("node_select", "graph_gated", "per_node", "ggsnn"):
+        raise ValueError(f"unknown head {cfg.head!r}")
 
     def node_fn(h, ann, ngraph, nmask, nfa, ax):
         if cfg.head == "graph_gated":
             loss, correct, count = sharded_graph_gated_loss(
                 nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
                 nfa["cls"], n_graphs, ax)
+        elif cfg.head == "per_node":
+            loss, correct, count = sharded_per_node_loss(
+                nfa["head"], h, ann, nmask, nfa["node_labels"], ax)
         else:
             loss, correct, count = sharded_node_select_loss(
                 nfa["head"], h, ann, ngraph, nmask, nfa["n_nodes"],
                 nfa["node"], n_graphs, ax)
         return jnp.stack([loss, correct, count])
+
+    def body_fn(run_steps, ann, ngraph, nmask, nfa, ax):
+        return sharded_ggsnn_losses(cfg, run_steps, ann, ngraph, nmask,
+                                    nfa, n_graphs, ax)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def train_step(params, opt_state, parts, targets, halo_arrays=None):
@@ -439,13 +647,24 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
                    if halo_arrays is not None else None)
 
         def objective(ps):
-            nfa = {"head": ps["head"], "n_nodes": targets["n_nodes"],
-                   **{k: v for k, v in targets.items()
-                      if k in ("node", "cls")}}
-            out = sharded_propagate(
-                ps["prop"], cfg, mesh, parts, strategy=strategy,
-                axis_name=axis_name, halo_layouts=layouts,
-                node_fn=node_fn, node_fn_args=nfa)
+            if cfg.head == "ggsnn":
+                nfa = {"out": ps["out"], "ann_net": ps["ann"],
+                       "n_nodes": targets["n_nodes"],
+                       **{k: targets[k] for k in ("seq", "seq_nodes",
+                                                  "ann_seq")
+                          if k in targets}}
+                out = sharded_propagate(
+                    ps["prop"], cfg, mesh, parts, strategy=strategy,
+                    axis_name=axis_name, halo_layouts=layouts,
+                    body_fn=body_fn, node_fn_args=nfa)
+            else:
+                nfa = {"head": ps["head"], "n_nodes": targets["n_nodes"],
+                       **{k: v for k, v in targets.items()
+                          if k in ("node", "cls", "node_labels")}}
+                out = sharded_propagate(
+                    ps["prop"], cfg, mesh, parts, strategy=strategy,
+                    axis_name=axis_name, halo_layouts=layouts,
+                    node_fn=node_fn, node_fn_args=nfa)
             # every shard returned identical replicated scalars
             return out[0, 0], (out[0, 1], out[0, 2])
 

@@ -471,3 +471,187 @@ def test_sharded_train_fused_window_step(rng, on_demand):
     jax.tree.map(lambda a, c: np.testing.assert_allclose(
         np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
         new_prop, ref_prop)
+
+
+def test_sharded_per_node_training_matches_single_device(rng):
+    """Sharded per_node head (C7b): per-shard logits/NLL with psum'd
+    normalizing sums; 3-step loss curve and metrics match the
+    single-device train step (VERDICT r2 #3)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ggnn_tpu.parallel import make_sharded_task_train_step
+    from ggnn_tpu.parallel.partition import split_local_remote
+    from ggnn_tpu.train.loop import make_train_step
+
+    graphs, total = [], 0
+    while total < 256 - 24:
+        n = int(rng.integers(10, 20))
+        m = int(rng.integers(8, 3 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        labels = rng.integers(-1, 3, n).astype(np.int32)  # −1 = unlabeled
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann,
+                           targets={},
+                           node_targets={"node_labels": labels}))
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=256,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=3, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    n_graphs = spec.n_graphs
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3, head="per_node", n_classes=3)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    optimizer = optax.adam(1e-2)
+
+    p2 = jax.tree.map(jnp.array, params)
+    step1 = make_train_step(cfg, n_graphs, optimizer)
+    p1, o1 = params, optimizer.init(params)
+    ref = []
+    for _ in range(3):
+        p1, o1, m = step1(p1, o1, jax.tree.map(jnp.asarray, b.arrays))
+        ref.append((float(m["loss_sum"]) / float(m["count"]),
+                    float(m["correct"]), float(m["count"])))
+
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+    step2 = make_sharded_task_train_step(cfg, mesh, optimizer, n_graphs,
+                                         strategy="halo_overlap")
+    targets = {"node_labels": jnp.asarray(b.arrays["targets"]["node_labels"]),
+               "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+    o2 = optimizer.init(p2)
+    for i in range(3):
+        p2, o2, m2 = step2(p2, o2, parts, targets)
+        got = float(m2["loss_sum"]) / float(m2["count"])
+        np.testing.assert_allclose(got, ref[i][0], rtol=2e-4,
+                                   err_msg=f"step {i}")
+        assert float(m2["correct"]) == ref[i][1], f"step {i}"
+        assert float(m2["count"]) == ref[i][2], f"step {i}"
+
+
+@pytest.mark.parametrize("output,supervised", [("graph", False),
+                                               ("node", True)])
+def test_sharded_ggsnn_training_matches_single_device(rng, output,
+                                                      supervised):
+    """Sharded GGS-NN (C7d): the annotation-rewrite round scan inside
+    shard_map — per round re-propagate from X^{(k)}, cross-shard output
+    (psum'd gated pool token logits, or segment-softmax node selection),
+    local annotation rewrite (+ GGS-NN-opt BCE when supervised).  3-step
+    loss curve and exact-match metrics equal the single-device train step
+    (VERDICT r2 #3)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ggnn_tpu.parallel import make_sharded_task_train_step
+    from ggnn_tpu.parallel.partition import split_local_remote
+    from ggnn_tpu.train.loop import make_train_step
+
+    K = 3
+    graphs, total = [], 0
+    while total < 256 - 24:
+        n = int(rng.integers(10, 20))
+        m = int(rng.integers(8, 3 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 3, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        klen = int(rng.integers(1, K + 1))   # variable-length sequences
+        seq = np.full(K, -1, np.int32)
+        seq[:klen] = rng.integers(0, 5, klen)
+        seq_nodes = np.full(K, -1, np.int32)
+        seq_nodes[:klen] = rng.integers(0, n, klen)
+        g = dict(n_nodes=n, edges=edges, annotations=ann,
+                 targets={"seq": seq, "seq_nodes": seq_nodes})
+        if supervised:
+            g["node_targets"] = {"ann_seq": (rng.random((n, K, 2)) < 0.5)
+                                 .astype(np.float32)}
+        graphs.append(g)
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=256,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=3, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    n_graphs = spec.n_graphs
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=2, head="ggsnn", n_classes=5, n_rounds=K,
+                      ggsnn_output=output, ann_supervision=supervised)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    optimizer = optax.adam(1e-2)
+
+    p2 = jax.tree.map(jnp.array, params)
+    step1 = make_train_step(cfg, n_graphs, optimizer)
+    p1, o1 = params, optimizer.init(params)
+    ref = []
+    for _ in range(3):
+        p1, o1, m = step1(p1, o1, jax.tree.map(jnp.asarray, b.arrays))
+        ref.append((float(m["loss_sum"]) / float(m["count"]),
+                    float(m["correct"]), float(m["count"])))
+
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+    step2 = make_sharded_task_train_step(cfg, mesh, optimizer, n_graphs,
+                                         strategy="halo_overlap")
+    tkey = "seq_nodes" if output == "node" else "seq"
+    targets = {tkey: jnp.asarray(b.arrays["targets"][tkey]),
+               "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+    if supervised:
+        targets["ann_seq"] = jnp.asarray(b.arrays["targets"]["ann_seq"])
+    o2 = optimizer.init(p2)
+    for i in range(3):
+        p2, o2, m2 = step2(p2, o2, parts, targets)
+        got = float(m2["loss_sum"]) / float(m2["count"])
+        np.testing.assert_allclose(got, ref[i][0], rtol=3e-4,
+                                   err_msg=f"step {i}")
+        assert float(m2["correct"]) == ref[i][1], f"step {i}"
+        assert float(m2["count"]) == ref[i][2], f"step {i}"
+
+
+def test_sharded_ggsnn_per_round_nets(rng):
+    """share_round_nets=False: the per-round F_o/F_x stacks ride the round
+    scan's xs inside the shard_map; one sharded step matches the
+    single-device step."""
+    import jax.numpy as jnp
+    import optax
+
+    from ggnn_tpu.parallel import make_sharded_task_train_step
+    from ggnn_tpu.parallel.partition import split_local_remote
+    from ggnn_tpu.train.loop import make_train_step
+
+    K = 2
+    graphs, total = [], 0
+    while total < 128 - 20:
+        n = int(rng.integers(8, 16))
+        m = int(rng.integers(6, 2 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 2, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        seq = rng.integers(0, 4, K).astype(np.int32)
+        graphs.append(dict(n_nodes=n, edges=edges, annotations=ann,
+                           targets={"seq": seq}))
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=128,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=2, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=2,
+                      n_steps=2, head="ggsnn", n_classes=4, n_rounds=K,
+                      share_round_nets=False)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    optimizer = optax.adam(1e-2)
+
+    p2 = jax.tree.map(jnp.array, params)
+    step1 = make_train_step(cfg, spec.n_graphs, optimizer)
+    p1, o1 = params, optimizer.init(params)
+    p1, o1, m1 = step1(p1, o1, jax.tree.map(jnp.asarray, b.arrays))
+
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+    step2 = make_sharded_task_train_step(cfg, mesh, optimizer, spec.n_graphs,
+                                         strategy="halo_overlap")
+    targets = {"seq": jnp.asarray(b.arrays["targets"]["seq"]),
+               "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+    p2, o2, m2 = step2(p2, optimizer.init(p2), parts, targets)
+    np.testing.assert_allclose(
+        float(m2["loss_sum"]) / float(m2["count"]),
+        float(m1["loss_sum"]) / float(m1["count"]), rtol=3e-4)
