@@ -23,17 +23,26 @@ requires_tpu = pytest.mark.skipif(
 # train 104.9M / community fwd 870.7M (fuse_gru + on_demand) / community
 # train 269.4M (fused trainable step + on_demand) / scale-free fwd
 # 209.0M (on_demand).
+#
+# The two `quick`-marked cases (uniform fwd + community train — the two
+# headline regimes) are the routine variant: run them alone with
+# ``pytest tests/test_perf_thresholds.py -m quick`` to fit one tunnel
+# session (~4 remote compiles); the unmarked rest completes the full
+# regression net.
 CASES = [
-    ("uniform_fwd_onehot",
-     ["--backend", "onehot"], 202e6),
+    pytest.param(
+        "uniform_fwd_onehot",
+        ["--backend", "onehot"], 202e6, marks=pytest.mark.quick),
     ("uniform_train_onehot",
      ["--backend", "onehot", "--mode", "train"], 83e6),
     ("community_fwd_window",
      ["--backend", "window", "--communities", "512", "--block_rows", "512",
       "--fuse_gru", "--on_demand"], 696e6),
-    ("community_train_window",
-     ["--backend", "window", "--communities", "512", "--block_rows", "512",
-      "--mode", "train", "--on_demand", "--fuse_gru"], 215e6),
+    pytest.param(
+        "community_train_window",
+        ["--backend", "window", "--communities", "512", "--block_rows",
+         "512", "--mode", "train", "--on_demand", "--fuse_gru"], 215e6,
+        marks=pytest.mark.quick),
     ("scalefree_fwd_window",
      ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
     # 1M nodes / 20M directed edges single-chip TRAIN (round-2: 266.1M
@@ -49,8 +58,9 @@ CASES = [
 
 
 @requires_tpu
-@pytest.mark.parametrize("name,extra,threshold",
-                         CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize(
+    "name,extra,threshold", CASES,
+    ids=[c.values[0] if hasattr(c, "values") else c[0] for c in CASES])
 def test_throughput_threshold(name, extra, threshold):
     out = subprocess.run(
         [sys.executable, "bench.py", "--dtype", "bfloat16",
