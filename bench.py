@@ -182,9 +182,10 @@ def main() -> int:
                 # typed spill fragmented — measured 407.9M vs 755.7M on
                 # the community headline — so table mode defaults to the
                 # legacy table-gather spill)
+                # q8 composes with the XW spill since round 6 (the spill
+                # gathers h directly — no table dequant, no quant noise)
                 typed_spill=((on_demand or args.xw_spill)
                              and not do_pack
-                             and not (args.q8 and fuse_gru)
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,
                 row_major=("block" if batch.spec.n_pad % 128 == 0

@@ -1441,14 +1441,21 @@ def node_table_block_major(h, msg_w, msg_b, interpret: bool = False):
     )(h, msg_w, msg_b)
 
 
-def _table_block_q8_kernel(h_ref, w_ref, b_ref, out_ref, *, gtypes):
-    """Quantizing variant of :func:`_table_block_kernel`: emits int8 rows
-    with power-of-2 per-window scales (window = ``gtypes`` consecutive
-    types of one src block).  Row layout [D + 128] int8: bytes [0, D) are
-    the quantized values, byte D the window exponent (for the spill
-    path's in-row dequant), rest zero."""
+def _table_block_q8_kernel(h_ref, w_ref, b_ref, out_ref, exp_ref, *,
+                           gtypes, rows_pad):
+    """Quantizing variant of :func:`_table_block_kernel`: emits VALUES-ONLY
+    int8 rows with power-of-2 per-window scales (window = ``gtypes``
+    consecutive types of one src block).  Exponents go to a separate
+    [rows_pad, 128] f32 block (row g, lane 0 = window g's exponent) —
+    round-6 change: the former [D | exponent | padding] in-row layout
+    doubled the table-build write bytes for metadata the window kernel
+    never DMA'd; spill paths now dequantize via the scales vector
+    instead (XW spill never touches the table at all)."""
     t2 = w_ref.shape[0]
     D = w_ref.shape[-1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 128), 1)
+    eacc = jnp.zeros((rows_pad, 128), jnp.float32)
     for g in range(t2 // gtypes):
         vals = []
         for j in range(gtypes):
@@ -1461,16 +1468,13 @@ def _table_block_q8_kernel(h_ref, w_ref, b_ref, out_ref, *, gtypes):
         e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30)) - 6.9886)  # log2(127)
         e = jnp.clip(e, -100.0, 100.0)
         inv = jnp.exp2(-e)
+        eacc = jnp.where((row_i == g) & (col_i == 0), e, eacc)
         for j in range(gtypes):
             t = g * gtypes + j
             q = jnp.clip(jnp.round(vals[j] * inv), -127.0, 127.0)
             row0 = t * 128
-            out_ref[row0:row0 + 128, :D] = q.astype(jnp.int8)
-            # exponent in byte 0 of the metadata lane group (iota mask —
-            # Mosaic has no in-kernel scatter)
-            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-            out_ref[row0:row0 + 128, D:] = jnp.where(
-                col == 0, e, 0.0).astype(jnp.int8)
+            out_ref[row0:row0 + 128, :] = q.astype(jnp.int8)
+    exp_ref[...] = eacc
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
@@ -1481,13 +1485,14 @@ def node_table_block_major_q8(h, msg_w, msg_b, window: int,
     kernel then runs int8×int8→int32 MXU dots — measured 496 vs 612
     ns/tile — and dequantizes per tile with one scalar multiply).
 
-    Returns (table_q [N·T2, D+128] int8, scales [n_wins] f32).  The
-    exponent rides byte D of every row — the spill path dequantizes from
-    the gathered rows alone (a separate per-edge scale gather would cost
-    the full ~6.5 ns/row engine rate again), and the per-window scale
-    vector is recovered OUTSIDE the kernel from one strided read of the
-    exponent bytes (a tiny [n_wins, 1] kernel output violates Mosaic's
-    (8, 128) block-shape rule)."""
+    Returns (table_q [N·T2, D] int8 — values only, half the write bytes
+    of the round-3 [D+128] in-row-metadata layout — and scales [n_wins]
+    f32, window-major in the same order ``win_of_tile`` indexes).  The
+    exponents come out of the build kernel as padded f32 rows (a bare
+    [n_wins, 1] output would violate Mosaic's (8, 128) block-shape
+    rule); spill paths dequantize gathered rows via
+    ``scales[row // window]`` (the [n_wins] vector is KiB-scale — the
+    extra gather runs at the small-footprint engine rate)."""
     N, D = h.shape
     T2 = msg_w.shape[0]
     if N % 128 or D % 128:
@@ -1496,8 +1501,11 @@ def node_table_block_major_q8(h, msg_w, msg_b, window: int,
         raise ValueError("window must be a 128-multiple dividing T2*128")
     gtypes = window // 128
     n_blk = N // 128
-    kernel = functools.partial(_table_block_q8_kernel, gtypes=gtypes)
-    tq = pl.pallas_call(
+    wins_per_blk = T2 // gtypes
+    rows_pad = max(8, -(-wins_per_blk // 8) * 8)
+    kernel = functools.partial(_table_block_q8_kernel, gtypes=gtypes,
+                               rows_pad=rows_pad)
+    tq, exps = pl.pallas_call(
         kernel,
         grid=(n_blk,),
         in_specs=[
@@ -1508,17 +1516,23 @@ def node_table_block_major_q8(h, msg_w, msg_b, window: int,
             pl.BlockSpec((T2, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T2 * 128, D + 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N * T2, D + 128), jnp.int8),
+        out_specs=[pl.BlockSpec((T2 * 128, D), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows_pad, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((N * T2, D), jnp.int8),
+                   jax.ShapeDtypeStruct((n_blk * rows_pad, 128),
+                                        jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * D * T2 * D,
-            bytes_accessed=N * D * h.dtype.itemsize + N * T2 * (D + 128),
+            bytes_accessed=N * D * h.dtype.itemsize + N * T2 * D,
             transcendentals=4 * N // 128 * T2,
         ),
     )(h, msg_w, msg_b)
-    scales = jnp.exp2(tq[::window, D].astype(jnp.float32))[:, None]
+    scales = jnp.exp2(
+        exps.reshape(n_blk, rows_pad, 128)[:, :wins_per_blk, 0]
+    ).reshape(-1, 1)
     return tq, scales
 
 
@@ -1590,7 +1604,6 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
         res_buf, *rest = rest
     tbl_sem, c_sem, init_sem, h_sem, out_sem, *rest = rest
     res_sem = rest[0] if emit_res else None
-    D_val = wa_ref.shape[0]
     p = pl.program_id(0)
     b0 = p * blocks_per_prog
     t0 = tile_start_ref[b0]
@@ -1599,13 +1612,10 @@ def _window_step_kernel(block_of_tile_ref, win_of_tile_ref, tile_start_ref,
 
     def in_dma(slot, t):
         w = win_of_tile_ref[t]
-        # q8 rows are [D | exponent+padding]: DMA only the value lanes so
-        # the int8 dot consumes a full, unsliced buffer (and the metadata
-        # half never crosses HBM→VMEM)
+        # q8 tables are values-only int8 [R, D] since round 6 — the
+        # window DMA is HALF the bf16 bytes (the dominant per-tile cost)
         if ondemand:
             src = table_hbm.at[pl.ds((w // wpb) * 128, 128), :]
-        elif q8:
-            src = table_hbm.at[pl.ds(w * window, window), :D_val]
         else:
             src = table_hbm.at[pl.ds(w * window, window), :]
         m = pltpu.make_async_copy(src, tbl_buf.at[slot], tbl_sem.at[slot])
@@ -1767,7 +1777,8 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
     the compute dtype, ``b3`` [1, 3D] f32.  Returns h_new (f32).
 
     ``scales`` [n_wins] f32 selects the quantized path: ``table`` is then
-    the int8 [R, D+128] output of :func:`node_table_block_major_q8`.
+    the values-only int8 [R, D] output of
+    :func:`node_table_block_major_q8`.
 
     ``msg_w``/``msg_b`` select the ON-DEMAND path: ``table`` is then the
     (compute-dtype) h source array itself — each tile DMAs a 128-row h
@@ -1783,7 +1794,7 @@ def window_step_gru(table, c_stream, tile_start, block_of_tile, win_of_tile,
         raise ValueError("emit_res (training) and q8 (serving quant) are "
                          "mutually exclusive")
     R, D_row = table.shape
-    D = D_row - 128 if q8 else D_row
+    D = D_row
     if not ondemand and R % window:
         raise ValueError("table rows must be a multiple of window")
     if n_blocks % n_progs:
@@ -1941,20 +1952,27 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             raise ValueError("quantized serving is incompatible with "
                              "pack_counts (int8 MXU consumes raw counts)")
         xw_sp = spill_meta is not None and len(spill_meta) > 8
-        if xw_sp:
-            raise ValueError("quantized serving is incompatible with "
-                             "typed_spill (the XW spill consumes bf16 h)")
         table, scales = node_table_block_major_q8(
             h.astype(cdt), msg_w, msg_b, window=W, interpret=interpret)
         scales = scales[:, 0]
         n_rows = n_blocks * block_rows
         has_init = spill_meta is not None
-        if has_init:
-            # in-row dequant: byte D of every row is the window exponent
-            raw = table[arrs["s_gather_idx"]]
-            msgs = (raw[:, :D].astype(jnp.float32)
-                    * jnp.exp2(raw[:, D].astype(jnp.float32))[:, None]
-                    ).astype(cdt)
+        if xw_sp:
+            # XW typed spill: gathers h directly and transforms in bf16
+            # type buckets — never touches the q8 table, so the spill
+            # contribution carries NO quantization noise (round 6; this
+            # is the headline community config's spill)
+            init = _spill_partial(h.astype(cdt), None, arrs, spill_meta,
+                                  msg_w, msg_b, interpret)
+        elif has_init:
+            # legacy table-gather spill: dequantize the gathered int8
+            # rows via the [n_wins] scales vector (KiB-scale footprint —
+            # the extra row//W gather is engine-cheap; the round-3
+            # in-row exponent byte is gone, see node_table_block_major_q8)
+            idx = arrs["s_gather_idx"]
+            raw = table[idx]
+            msgs = (raw.astype(jnp.float32)
+                    * scales[idx // W][:, None]).astype(cdt)
             init = _spill_scatter_msgs(msgs, arrs, spill_meta, interpret)
         else:
             init = jnp.zeros((n_rows, D), jnp.float32)

@@ -139,11 +139,14 @@ def test_fused_gru_step_parity(rng, pack, min_edges, row_major):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("min_edges", [2, 120])
-def test_quantized_fused_step(rng, min_edges):
+@pytest.mark.parametrize("min_edges,typed_spill",
+                         [(2, False), (120, False), (120, True)])
+def test_quantized_fused_step(rng, min_edges, typed_spill):
     """int8-quantized serving step (power-of-2 per-window scales, int8 MXU
-    dots, in-row exponents for the spill dequant) tracks the f32 step
-    within quantization tolerance; scales/table shapes are as specified."""
+    dots; values-only table + scales-vector spill dequant since round 6)
+    tracks the f32 step within quantization tolerance; with the XW typed
+    spill the spilled contribution is exact (gathers bf16 h, never the
+    q8 table)."""
     from ggnn_tpu.models.ggnn import gru_update
     from ggnn_tpu.ops.window_pallas import (gru_window_step,
                                             node_table_block_major_q8)
@@ -152,7 +155,7 @@ def test_quantized_fused_step(rng, min_edges):
     lay = build_window_layout(src, dst, typ, mask, N, window=W,
                               min_edges_per_tile=min_edges, spill_tile_e=16,
                               n_message_types=T2, block_rows=256,
-                              row_major="block")
+                              row_major="block", typed_spill=typed_spill)
     cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
     params = init_params(jax.random.PRNGKey(0), cfg)
     prop = params["prop"]
@@ -160,11 +163,11 @@ def test_quantized_fused_step(rng, min_edges):
     # table-level check: dequantized table tracks the f32 table
     tq, scales = node_table_block_major_q8(h, prop["msg_w"], prop["msg_b"],
                                            window=W, interpret=True)
-    assert tq.shape == (N * T2, D + 128) and scales.shape == (N * T2 // W, 1)
+    assert tq.shape == (N * T2, D) and scales.shape == (N * T2 // W, 1)
     from ggnn_tpu.ops.window_pallas import _node_table
     tf = _node_table(h, prop["msg_w"], prop["msg_b"], "block", True)
-    deq = np.asarray(tq[:, :D], np.float32) * np.exp2(
-        np.asarray(tq[:, D], np.float32))[:, None]
+    deq = np.asarray(tq, np.float32) \
+        * np.repeat(np.asarray(scales)[:, 0], W)[:, None]
     err = np.abs(deq - np.asarray(tf))
     lim = np.repeat(np.asarray(scales)[:, 0], W)[:, None]  # 1 LSB per window
     assert (err <= lim * 0.500001).all()
