@@ -620,8 +620,57 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
     (pinned by tests/test_distributed.py)."""
     import optax
 
+    objective = _make_sharded_objective(cfg, mesh, n_graphs, strategy,
+                                        axis_name, halo_meta)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def train_step(params, opt_state, parts, targets, halo_arrays=None):
+        (loss, (correct, count)), grads = jax.value_and_grad(
+            lambda ps: objective(ps, parts, targets, halo_arrays),
+            has_aux=True)(params)
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        metrics = {"loss_sum": loss * count, "correct": correct,
+                   "count": count}
+        return optax.apply_updates(params, updates), opt_state_new, metrics
+
+    return train_step
+
+
+def make_sharded_eval_step(cfg: ModelConfig, mesh, n_graphs: int,
+                           strategy: str = "halo_overlap",
+                           axis_name: str = "graph", halo_meta=None):
+    """Sharded counterpart of :func:`ggnn_tpu.train.loop.make_eval_step`:
+    the same cross-shard task losses as
+    :func:`make_sharded_task_train_step`, forward-only.  Returns
+    ``eval_step(params, parts, targets, halo_arrays=None) -> metrics``
+    with the (loss_sum, correct, count) sums the single-device eval
+    reports."""
+    objective = _make_sharded_objective(cfg, mesh, n_graphs, strategy,
+                                        axis_name, halo_meta)
+
+    @jax.jit
+    def eval_step(params, parts, targets, halo_arrays=None):
+        loss, (correct, count) = objective(params, parts, targets,
+                                           halo_arrays)
+        return {"loss_sum": loss * count, "correct": correct,
+                "count": count}
+
+    return eval_step
+
+
+def _make_sharded_objective(cfg, mesh, n_graphs, strategy, axis_name,
+                            halo_meta):
+    """Shared loss closure of the sharded train/eval steps: routes the
+    configured head to its cross-shard loss (node_fn) or, for GGS-NN, the
+    in-shard_map round scan (body_fn); returns (loss, (correct, count))
+    as replicated scalars."""
     if cfg.head not in ("node_select", "graph_gated", "per_node", "ggsnn"):
         raise ValueError(f"unknown head {cfg.head!r}")
+    if strategy in ("halo_onehot", "halo_window") and halo_meta is None:
+        raise ValueError(
+            f"strategy {strategy!r} needs halo_meta= from "
+            "build_halo_scatter_layouts/build_halo_window_layouts; pass "
+            "the arrays dict to each step call")
 
     def node_fn(h, ann, ngraph, nmask, nfa, ax):
         if cfg.head == "graph_gated":
@@ -641,38 +690,28 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
         return sharded_ggsnn_losses(cfg, run_steps, ann, ngraph, nmask,
                                     nfa, n_graphs, ax)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def train_step(params, opt_state, parts, targets, halo_arrays=None):
+    def objective(ps, parts, targets, halo_arrays):
         layouts = ((halo_arrays, halo_meta)
                    if halo_arrays is not None else None)
+        if cfg.head == "ggsnn":
+            nfa = {"out": ps["out"], "ann_net": ps["ann"],
+                   "n_nodes": targets["n_nodes"],
+                   **{k: targets[k] for k in ("seq", "seq_nodes",
+                                              "ann_seq")
+                      if k in targets}}
+            out = sharded_propagate(
+                ps["prop"], cfg, mesh, parts, strategy=strategy,
+                axis_name=axis_name, halo_layouts=layouts,
+                body_fn=body_fn, node_fn_args=nfa)
+        else:
+            nfa = {"head": ps["head"], "n_nodes": targets["n_nodes"],
+                   **{k: v for k, v in targets.items()
+                      if k in ("node", "cls", "node_labels")}}
+            out = sharded_propagate(
+                ps["prop"], cfg, mesh, parts, strategy=strategy,
+                axis_name=axis_name, halo_layouts=layouts,
+                node_fn=node_fn, node_fn_args=nfa)
+        # every shard returned identical replicated scalars
+        return out[0, 0], (out[0, 1], out[0, 2])
 
-        def objective(ps):
-            if cfg.head == "ggsnn":
-                nfa = {"out": ps["out"], "ann_net": ps["ann"],
-                       "n_nodes": targets["n_nodes"],
-                       **{k: targets[k] for k in ("seq", "seq_nodes",
-                                                  "ann_seq")
-                          if k in targets}}
-                out = sharded_propagate(
-                    ps["prop"], cfg, mesh, parts, strategy=strategy,
-                    axis_name=axis_name, halo_layouts=layouts,
-                    body_fn=body_fn, node_fn_args=nfa)
-            else:
-                nfa = {"head": ps["head"], "n_nodes": targets["n_nodes"],
-                       **{k: v for k, v in targets.items()
-                          if k in ("node", "cls", "node_labels")}}
-                out = sharded_propagate(
-                    ps["prop"], cfg, mesh, parts, strategy=strategy,
-                    axis_name=axis_name, halo_layouts=layouts,
-                    node_fn=node_fn, node_fn_args=nfa)
-            # every shard returned identical replicated scalars
-            return out[0, 0], (out[0, 1], out[0, 2])
-
-        (loss, (correct, count)), grads = jax.value_and_grad(
-            objective, has_aux=True)(params)
-        updates, opt_state_new = optimizer.update(grads, opt_state, params)
-        metrics = {"loss_sum": loss * count, "correct": correct,
-                   "count": count}
-        return optax.apply_updates(params, updates), opt_state_new, metrics
-
-    return train_step
+    return objective

@@ -655,3 +655,49 @@ def test_sharded_ggsnn_per_round_nets(rng):
     np.testing.assert_allclose(
         float(m2["loss_sum"]) / float(m2["count"]),
         float(m1["loss_sum"]) / float(m1["count"]), rtol=3e-4)
+
+
+def test_sharded_eval_step_matches_single_device(rng):
+    """make_sharded_eval_step: forward-only cross-shard metrics equal the
+    single-device eval step (node_select and ggsnn heads)."""
+    import jax.numpy as jnp
+
+    from ggnn_tpu.parallel import make_sharded_eval_step
+    from ggnn_tpu.parallel.partition import split_local_remote
+    from ggnn_tpu.train.loop import make_eval_step
+
+    K = 2
+    graphs, total = [], 0
+    while total < 128 - 20:
+        n = int(rng.integers(8, 16))
+        m = int(rng.integers(6, 2 * n))
+        edges = np.stack([rng.integers(0, n, m), rng.integers(0, 2, m),
+                          rng.integers(0, n, m)], axis=1)
+        ann = (rng.random((n, 2)) < 0.4).astype(np.float32)
+        graphs.append(dict(
+            n_nodes=n, edges=edges, annotations=ann,
+            targets={"node": np.asarray(int(rng.integers(0, n)), np.int32),
+                     "seq": rng.integers(0, 4, K).astype(np.int32)}))
+        total += n
+    spec = PaddingSpec(n_graphs=len(graphs), n_pad=128,
+                       e_pad=2 * sum(g["edges"].shape[0] for g in graphs) + 8,
+                       n_edge_types=2, annotation_dim=2).round_up()
+    b = batch_graphs(graphs, spec)
+    mesh = make_mesh(8)
+    parts = split_local_remote(partition_batch(b, 8))
+
+    for head, tkey in [("node_select", "node"), ("ggsnn", "seq")]:
+        cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=2,
+                          n_steps=2, head=head, n_classes=4,
+                          n_rounds=K if head == "ggsnn" else 1)
+        params = init_params(jax.random.PRNGKey(8), cfg)
+        m1 = make_eval_step(cfg, spec.n_graphs)(
+            params, jax.tree.map(jnp.asarray, b.arrays))
+        step = make_sharded_eval_step(cfg, mesh, spec.n_graphs,
+                                      strategy="halo_overlap")
+        targets = {tkey: jnp.asarray(b.arrays["targets"][tkey]),
+                   "n_nodes": jnp.asarray(b.arrays["n_nodes"])}
+        m2 = step(params, parts, targets)
+        for k in ("loss_sum", "correct", "count"):
+            np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                       rtol=3e-4, err_msg=f"{head}:{k}")
