@@ -198,14 +198,33 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
                       preferred_element_type=jnp.float32)
     n_rows = n_blocks * BLOCK_N
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
-    out = typed_step_gru(
-        h_pack, arrs["dstl"], arrs["tile_start"], arrs["block_of_tile"],
-        arrs["tile_msg_off"], arrs["c_off"], arrs["tile_type"],
-        msg_w.astype(cdt), bias, h_pad, w_a.astype(cdt),
-        b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
-        uh.astype(cdt), n_blocks=n_blocks, tile_e=tile_e,
-        align=edge_align, interpret=interpret)
-    return out[:N]
+    chunks = meta[8] if len(meta) > 8 else None
+    if chunks is None:
+        out = typed_step_gru(
+            h_pack, arrs["dstl"], arrs["tile_start"], arrs["block_of_tile"],
+            arrs["tile_msg_off"], arrs["c_off"], arrs["tile_type"],
+            msg_w.astype(cdt), bias, h_pad, w_a.astype(cdt),
+            b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
+            uh.astype(cdt), n_blocks=n_blocks, tile_e=tile_e,
+            align=edge_align, interpret=interpret)
+        return out[:N]
+    # SMEM-capped chunked calls (scatter_pallas._chunk_blocks): each call
+    # covers a disjoint dst-block range with its slice of the prefetch
+    # arrays and of the per-node init/state rows; stream offsets stay
+    # global so h_pack/dstl pass through whole
+    from ggnn_tpu.ops.scatter_pallas import _typed_chunk_slices
+    outs = []
+    for ch in chunks:
+        b0, b1 = ch[0], ch[1]
+        ts, bot, tmo, coff, tty = _typed_chunk_slices(arrs, ch)
+        outs.append(typed_step_gru(
+            h_pack, arrs["dstl"], ts, bot, tmo, coff, tty,
+            msg_w.astype(cdt), bias[b0 * BLOCK_N:b1 * BLOCK_N],
+            h_pad[b0 * BLOCK_N:b1 * BLOCK_N], w_a.astype(cdt),
+            b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
+            uh.astype(cdt), n_blocks=b1 - b0, tile_e=tile_e,
+            align=edge_align, interpret=interpret))
+    return jnp.concatenate(outs, axis=0)[:N]
 
 
 def _typed_fused_step_fwd(meta, interpret, mdt, arrs, h, msg_w, msg_b,

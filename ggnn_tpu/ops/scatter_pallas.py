@@ -205,6 +205,48 @@ def static_tile_budget(e_pad: int, n_rows_pad: int, tile_e: int) -> int:
     return -(-e_pad // tile_e) + n_rows_pad // BLOCK_N
 
 
+# SMEM holds ~1 MB and the typed/mono kernels scalar-prefetch up to four
+# per-tile i32 streams (+ tile_start), so a single pallas_call tops out
+# around 60K tiles (measured: 125K tiles = 1.95 MB SMEM, 2× the budget —
+# the 1M-node uniform config).  Layouts beyond the cap are split at
+# dst-block boundaries into CHUNKED calls: disjoint output block ranges,
+# per-chunk slices of the prefetch arrays, stream offsets staying GLOBAL
+# (h_pack / dstl / count streams are passed whole to every chunk).
+SMEM_TILE_CAP = 40960
+
+
+def _chunk_blocks(tile_start, cap: int = SMEM_TILE_CAP):
+    """Split blocks [0, n_blocks) at block boundaries so each chunk holds
+    at most ``cap`` tiles.  Returns None when a single call suffices,
+    else a tuple of (b0, b1, t0, t1): tiles [t0, t1) cover blocks
+    [b0, b1).  A single block never splits (tiles-per-block ≪ cap for
+    any real graph — one block is 128 dst rows)."""
+    ts = np.asarray(tile_start, np.int64)
+    n_blocks = ts.shape[0] - 1
+    if int(ts[-1]) <= cap:
+        return None
+    bounds = []
+    b0 = 0
+    while b0 < n_blocks:
+        b1 = int(np.searchsorted(ts, ts[b0] + cap, side="right")) - 1
+        b1 = min(max(b1, b0 + 1), n_blocks)
+        bounds.append((b0, b1, int(ts[b0]), int(ts[b1])))
+        b0 = b1
+    return tuple(bounds)
+
+
+def _typed_chunk_slices(arrs, ch):
+    """Per-chunk prefetch-array slices for the typed kernels: block/tile
+    indices re-based to the chunk, stream offsets (tile_msg_off, c_off)
+    kept global."""
+    b0, b1, t0, t1 = ch
+    return (arrs["tile_start"][b0:b1 + 1] - t0,
+            arrs["block_of_tile"][t0:t1] - b0,
+            arrs["tile_msg_off"][t0:t1],
+            arrs["c_off"][t0:t1],
+            arrs["tile_type"][t0:t1])
+
+
 def build_dst_block_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, tile_e: int = 128,
                            with_grad: bool = False,
@@ -823,11 +865,24 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
         # and apply W_t inside the scatter kernel on single-type tiles;
         # the bias is Σ_t indeg_t(v)·b_t outside
         h_pack = h[arrs["gather_idx"]]
-        out = typed_onehot_scatter(
-            h_pack, arrs["dstl"], arrs["tile_start"],
-            arrs["block_of_tile"], arrs["tile_msg_off"], arrs["c_off"],
-            arrs["tile_type"], msg_w, n_blocks=n_blocks, tile_e=tile_e,
-            align=edge_align, interpret=interpret)
+        chunks = meta[8] if len(meta) > 8 else None
+        if chunks is None:
+            out = typed_onehot_scatter(
+                h_pack, arrs["dstl"], arrs["tile_start"],
+                arrs["block_of_tile"], arrs["tile_msg_off"], arrs["c_off"],
+                arrs["tile_type"], msg_w, n_blocks=n_blocks, tile_e=tile_e,
+                align=edge_align, interpret=interpret)
+        else:
+            # SMEM-capped chunked calls (see _chunk_blocks): disjoint
+            # dst-block ranges, global stream offsets
+            outs = []
+            for ch in chunks:
+                ts, bot, tmo, coff, tty = _typed_chunk_slices(arrs, ch)
+                outs.append(typed_onehot_scatter(
+                    h_pack, arrs["dstl"], ts, bot, tmo, coff, tty, msg_w,
+                    n_blocks=ch[1] - ch[0], tile_e=tile_e,
+                    align=edge_align, interpret=interpret))
+            out = jnp.concatenate(outs, axis=0)
         bias = jnp.einsum("tn,td->nd", arrs["indeg"],
                           msg_b.astype(jnp.float32),
                           preferred_element_type=jnp.float32)
@@ -889,13 +944,32 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
         if g_align is not None:
             from ggnn_tpu.ops.window_pallas import window_block_spmm_mono
             use_dstl = "g_dstl" in arrs
-            Y_flat = window_block_spmm_mono(
-                G, arrs["g_dstl"] if use_dstl else arrs["g_onehot"],
-                arrs["g_tile_start"],
-                arrs["g_block_of_tile"], arrs["g_tile_msg_off"],
-                n_blocks=g_blocks, window=g_tile_e, win_stride=g_align,
-                out_rows=BLOCK_N, out_dtype=out_dtype, dstl=use_dstl,
-                interpret=interpret)
+            g_stream = arrs["g_dstl"] if use_dstl else arrs["g_onehot"]
+            g_chunks = grad_meta[5] if len(grad_meta) > 5 else None
+            if g_chunks is None:
+                Y_flat = window_block_spmm_mono(
+                    G, g_stream, arrs["g_tile_start"],
+                    arrs["g_block_of_tile"], arrs["g_tile_msg_off"],
+                    n_blocks=g_blocks, window=g_tile_e, win_stride=g_align,
+                    out_rows=BLOCK_N, out_dtype=out_dtype, dstl=use_dstl,
+                    interpret=interpret)
+            else:
+                # SMEM-capped chunked calls (the grad layout's tile count
+                # scales with T2·N/128 blocks — 125K at 1M nodes); the
+                # stream is dense over GLOBAL tile indices, so each chunk
+                # addresses it via an explicit c_off = arange(t0, t1)
+                parts = []
+                for b0, b1, t0, t1 in g_chunks:
+                    parts.append(window_block_spmm_mono(
+                        G, g_stream, arrs["g_tile_start"][b0:b1 + 1] - t0,
+                        arrs["g_block_of_tile"][t0:t1] - b0,
+                        arrs["g_tile_msg_off"][t0:t1],
+                        n_blocks=b1 - b0, window=g_tile_e,
+                        win_stride=g_align, out_rows=BLOCK_N,
+                        out_dtype=out_dtype, dstl=use_dstl,
+                        c_off=jnp.arange(t0, t1, dtype=jnp.int32),
+                        interpret=interpret))
+                Y_flat = jnp.concatenate(parts, axis=0)
         elif g_has_onehot:
             # mono kernel: f32 VMEM accumulation, flushed in the compute
             # dtype — Y is a [T2·N, D] intermediate whose three einsum
@@ -984,7 +1058,8 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                            n_nodes_pad: int, n_message_types: int,
                            tile_e: int | None = None, edge_align: int = 16,
                            with_grad: bool = False,
-                           grad_tile_e: int | None = None):
+                           grad_tile_e: int | None = None,
+                           smem_tile_cap: int = SMEM_TILE_CAP):
     """Host-side layout for the typed-pack path: edges sorted by
     (dst block, type, src), per-(block, type) groups packed at
     ``edge_align``-row alignment, tiles split at group boundaries so each
@@ -1104,9 +1179,11 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
             arrays["g_tile_msg_off"] = jnp.asarray(g.tile_msg_off)
         arrays["g_indeg"] = arrays["indeg"]
         grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
-                     g.onehot is not None, g.edge_align)
+                     g.onehot is not None, g.edge_align,
+                     _chunk_blocks(g.tile_start, smem_tile_cap))
     meta = (n_nodes_pad, tile_e, 0, n_blocks, True, grad_meta,
-            edge_align, "typed")
+            edge_align, "typed",
+            _chunk_blocks(tile_start, smem_tile_cap))
     return DeviceScatterLayout(meta=meta, arrays=arrays)
 
 

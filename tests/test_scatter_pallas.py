@@ -238,6 +238,60 @@ def test_typed_pack_aggregate_parity(rng, tile_e):
                                    rtol=3e-4, atol=3e-4, err_msg=name)
 
 
+def test_typed_pack_chunked_parity(rng):
+    """SMEM-capped CHUNKED typed path (smem_tile_cap forces multiple
+    pallas_calls over disjoint dst-block ranges — the 1M-node regime
+    where 125K prefetch tiles overflow the 1 MB SMEM): forward, fused
+    step, and gradients all match the un-chunked layout bit-for-bit."""
+    from ggnn_tpu.models import propagate
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    N, E, T, D = 512, 4000, 3, 128
+    T2 = 2 * T
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    typ = rng.integers(0, T2, E).astype(np.int32)
+    mask = (rng.random(E) < 0.9).astype(np.float32)
+    lay_1 = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True)
+    lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True, smem_tile_cap=8)
+    assert lay_1.meta[8] is None and lay_c.meta[8] is not None
+    assert len(lay_c.meta[8]) >= 2          # actually chunked
+    assert lay_c.grad_meta[5] is not None   # grad layout chunked too
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+
+    ref = aggregate_onehot(h, lay_1, w, b, interpret=True)
+    got = aggregate_onehot(h, lay_c, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def loss(lay):
+        def f(h, w, b):
+            return jnp.sum(aggregate_onehot(h, lay, w, b,
+                                            interpret=True) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(lay_1), argnums=(0, 1, 2))(h, w, b)
+    g_new = jax.grad(loss(lay_c), argnums=(0, 1, 2))(h, w, b)
+    for a, c, name in zip(g_new, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                      err_msg=name)
+
+    # fused step (typed_step_gru) through the chunked layout
+    cfg_f = ModelConfig(state_dim=D, annotation_dim=4, n_edge_types=T,
+                        n_steps=2, backend="onehot", fuse_gru=True)
+    params = init_params(jax.random.PRNGKey(0), cfg_f)
+    ann = jnp.asarray((np.random.default_rng(1).random((N, 4)) < 0.4)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+    out_1 = propagate(params["prop"], cfg_f, *args, scatter_layout=lay_1)
+    out_c = propagate(params["prop"], cfg_f, *args, scatter_layout=lay_c)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_1))
+
+
 def test_typed_fused_step_parity_and_grads(rng):
     """Fused typed step (onehot backend + cfg.fuse_gru: GRU in the
     scatter kernel's epilogue, custom VJP whose fwd rule recomputes the
