@@ -144,12 +144,15 @@ def main() -> int:
                       block_rows: int | None = None,
                       pack: bool | None = None,
                       fuse_gru: bool | None = None,
-                      on_demand: bool | None = None) -> float:
+                      on_demand: bool | None = None,
+                      q8: bool | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
         if fuse_gru is None:
             fuse_gru = args.fuse_gru
         if on_demand is None:
             on_demand = args.on_demand
+        if q8 is None:
+            q8 = args.q8
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
@@ -162,7 +165,7 @@ def main() -> int:
                           fuse_gru=((fuse_gru or backend == "onehot")
                                     and not args.no_fuse
                                     and backend in ("window", "onehot")),
-                          quantized_table=(args.q8 and fuse_gru
+                          quantized_table=(q8 and fuse_gru
                                            and backend == "window"
                                            and args.mode == "fwd"))
         params = init_params(jax.random.PRNGKey(0), cfg)
@@ -184,7 +187,7 @@ def main() -> int:
                 # legacy table-gather spill)
                 # q8 composes with the XW spill since round 6 (the spill
                 # gathers h directly — no table dequant, no quant noise)
-                typed_spill=((on_demand or args.xw_spill)
+                typed_spill=((on_demand or args.xw_spill or q8)
                              and not do_pack
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,
@@ -332,7 +335,7 @@ def main() -> int:
         """Cumulative JSON record; re-emitted after every backend so an
         external timeout always leaves the tail parsable."""
         uniform = {k: v for k, v in results.items()
-                   if k != "window_community"}
+                   if not k.startswith("window_community")}
         best_name = max(uniform, key=uniform.get) if uniform \
             else max(results, key=results.get)
         best = results[best_name]
@@ -368,6 +371,17 @@ def main() -> int:
         plan.append(("onehot", lambda: bench_backend("onehot")))
         plan.append(("xla", lambda: bench_backend("xla")))
         if default_cfg:
+            comm_cache = []
+
+            def _comm_batch():
+                if not comm_cache:
+                    comm_cache.append(synthetic_batch(
+                        args.nodes, args.edges, args.types,
+                        annotation_dim=8, seed=0, node_mult=128,
+                        n_communities=max(args.nodes // 512, 1),
+                        p_intra=0.95))
+                return comm_cache[0]
+
             def _community():
                 # secondary showcase (does NOT enter value/vs_baseline):
                 # windowed block-CSR on a community graph — the
@@ -375,13 +389,23 @@ def main() -> int:
                 # engine rate no longer binds. On-demand table windows +
                 # XW spill: the round-2 headline config (870.7M measured
                 # vs 788.7M table+legacy spill).
-                comm = synthetic_batch(
-                    args.nodes, args.edges, args.types, annotation_dim=8,
-                    seed=0, node_mult=128,
-                    n_communities=max(args.nodes // 512, 1), p_intra=0.95)
-                return bench_backend("window", batch=comm, block_rows=512,
-                                     fuse_gru=True, on_demand=True)
+                return bench_backend("window", batch=_comm_batch(),
+                                     block_rows=512, fuse_gru=True,
+                                     on_demand=True)
+
+            def _community_q8():
+                # int8 serving mode (values-only int8 table + int8-MXU
+                # window dots + XW spill): 893.0M vs the 872.7M bf16-table
+                # control at this config (2026-08-20 A/B) — the measured
+                # 496-vs-612 ns/tile int8 window lead, cashed.  Quantized
+                # numerics (serving only) — kept as a separate detail so
+                # window_community stays the bit-exact bf16 number.
+                return bench_backend("window", batch=_comm_batch(),
+                                     block_rows=512, fuse_gru=True,
+                                     on_demand=False, q8=True)
+
             plan.append(("window_community", _community))
+            plan.append(("window_community_q8", _community_q8))
     else:
         plan.append((args.backend, lambda: bench_backend(args.backend)))
 
