@@ -1943,9 +1943,6 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     b3 = jnp.concatenate([gru["bz"], gru["br"], gru["bh"]])[None, :]
     uzr = jnp.concatenate([gru["uz"], gru["ur"]], axis=1)
     if quantized:
-        if extra_init is not None:
-            raise ValueError("extra_init is not supported with quantized "
-                             "serving")
         if row_major != "block":
             raise ValueError("quantized serving needs row_major='block'")
         if pack_fwd:
@@ -1956,7 +1953,8 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             h.astype(cdt), msg_w, msg_b, window=W, interpret=interpret)
         scales = scales[:, 0]
         n_rows = n_blocks * block_rows
-        has_init = spill_meta is not None
+        has_extra = extra_init is not None and extra_init.shape[0] > 0
+        has_init = spill_meta is not None or has_extra
         if xw_sp:
             # XW typed spill: gathers h directly and transforms in bf16
             # type buckets — never touches the q8 table, so the spill
@@ -1976,6 +1974,13 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             init = _spill_scatter_msgs(msgs, arrs, spill_meta, interpret)
         else:
             init = jnp.zeros((n_rows, D), jnp.float32)
+        if has_extra:
+            # externally-computed partial (the sharded halo path's
+            # remote-edge contribution, computed in bf16) folded into the
+            # init stream — same as the non-quantized fused step
+            init = init + jnp.pad(
+                extra_init.astype(jnp.float32),
+                ((0, n_rows - extra_init.shape[0]), (0, 0)))
         h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
         h_new = window_step_gru(
             table, arrs["c_stream"], arrs["tile_start"],

@@ -184,11 +184,15 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                 if cfg.fuse_gru:
                     # fused window+GRU step per shard (trainable custom
                     # VJP); the remote-edge partial rides the kernel's
-                    # init stream so the epilogue sees the complete a
+                    # init stream so the epilogue sees the complete a.
+                    # quantized_table composes: each shard quantizes its
+                    # own table windows (serving only — cross-shard
+                    # remote edges stay bf16 through typed_aggregate)
                     h_new = gru_window_step(
                         h_local, wlay, prop["msg_w"].astype(cdt),
                         prop["msg_b"].astype(cdt), prop["gru"],
-                        interpret=interpret, extra_init=a_rem)
+                        interpret=interpret, extra_init=a_rem,
+                        quantized=cfg.quantized_table)
                     return h_new, None
                 a_loc = aggregate_window(
                     h_local.astype(cdt), wlay, prop["msg_w"].astype(cdt),

@@ -473,6 +473,39 @@ def test_sharded_train_fused_window_step(rng, on_demand):
         new_prop, ref_prop)
 
 
+def test_sharded_halo_window_q8_serving(rng):
+    """quantized_table through the SHARDED fused halo_window step: each
+    shard quantizes its own table windows (int8, power-of-2 per-window
+    scales); cross-shard remote edges stay bf16.  The sharded q8 result
+    must track the exact bf16 sharded path within the quantization
+    error bound (~0.5 % relative per step)."""
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel.partition import (build_halo_window_layouts,
+                                             split_local_remote)
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=11,
+                        node_mult=1024, n_communities=8, p_intra=0.9)
+    mk = dict(state_dim=128, annotation_dim=2, n_edge_types=3, n_steps=3,
+              backend="window", fuse_gru=True)
+    cfg_q = ModelConfig(**mk, quantized_table=True)
+    cfg_f = ModelConfig(**mk)
+    params = init_params(jax.random.PRNGKey(2), cfg_q)
+    parts = split_local_remote(partition_batch(b, 8))
+    arrays, meta = build_halo_window_layouts(
+        parts, window=128, min_edges_per_tile=4, spill_tile_e=16,
+        n_message_types=cfg_q.n_message_types, row_major="block",
+        typed_spill=True)
+    mesh = make_mesh(8)
+    ref = np.asarray(sharded_propagate(
+        params["prop"], cfg_f, mesh, parts, strategy="halo_window",
+        halo_layouts=(arrays, meta)))
+    got = np.asarray(sharded_propagate(
+        params["prop"], cfg_q, mesh, parts, strategy="halo_window",
+        halo_layouts=(arrays, meta)))
+    assert not np.array_equal(got, ref)  # actually quantized
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, err
+
+
 def test_sharded_per_node_training_matches_single_device(rng):
     """Sharded per_node head (C7b): per-shard logits/NLL with psum'd
     normalizing sums; 3-step loss curve and metrics match the
