@@ -45,6 +45,11 @@ CASES = [
         marks=pytest.mark.quick),
     ("scalefree_fwd_window",
      ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
+    # q8 serving v2 (values-only int8 table + int8-MXU window dots + XW
+    # spill): 893.0M measured 2026-08-20 vs 872.7M bf16-table A/B
+    ("community_fwd_window_q8",
+     ["--backend", "window", "--communities", "512", "--block_rows", "512",
+      "--fuse_gru", "--q8", "--xw_spill"], 714e6),
     # 1M nodes / 20M directed edges single-chip TRAIN (round-2: 266.1M
     # through the fused step; fits HBM via on-demand windows + dstl
     # streams + remat).  chain 1: chain>=2 compiles at this scale crash
