@@ -145,7 +145,8 @@ def main() -> int:
                       pack: bool | None = None,
                       fuse_gru: bool | None = None,
                       on_demand: bool | None = None,
-                      q8: bool | None = None) -> float:
+                      q8: bool | None = None,
+                      xw: bool | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
         if fuse_gru is None:
             fuse_gru = args.fuse_gru
@@ -153,6 +154,8 @@ def main() -> int:
             on_demand = args.on_demand
         if q8 is None:
             q8 = args.q8
+        if xw is None:
+            xw = args.xw_spill
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
@@ -187,7 +190,11 @@ def main() -> int:
                 # legacy table-gather spill)
                 # q8 composes with the XW spill since round 6 (the spill
                 # gathers h directly — no table dequant, no quant noise)
-                typed_spill=((on_demand or args.xw_spill or q8)
+                # q8 composes with EITHER spill (the legacy spill
+                # dequantizes via the scales vector) — at 1M the legacy
+                # spill is 27% faster (432.0 vs 339.0M, 2026-08-20), so
+                # q8 no longer forces the XW spill; pass --xw_spill
+                typed_spill=((on_demand or xw)
                              and not do_pack
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,
@@ -402,7 +409,7 @@ def main() -> int:
                 # window_community stays the bit-exact bf16 number.
                 return bench_backend("window", batch=_comm_batch(),
                                      block_rows=512, fuse_gru=True,
-                                     on_demand=False, q8=True)
+                                     on_demand=False, q8=True, xw=True)
 
             plan.append(("window_community", _community))
             plan.append(("window_community_q8", _community_q8))

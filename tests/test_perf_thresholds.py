@@ -59,6 +59,13 @@ CASES = [
       "--communities", "4096", "--backend", "window", "--block_rows", "256",
       "--window", "512", "--mode", "train", "--on_demand", "--remat",
       "--fuse_gru", "--chain", "1"], 212e6),
+    # 1M-node UNIFORM training through the SMEM-chunked typed path
+    # (commit 62c95fc): 108.6M measured 2026-08-20 — the config hit the
+    # SMEM cap (fwd) and HBM (train) before; covers the chunked fwd +
+    # chunked grad reverse scatter in one case
+    ("1m_uniform_train_onehot",
+     ["--nodes", "1000000", "--edges", "10000000", "--backend", "onehot",
+      "--mode", "train", "--remat", "--chain", "1"], 86e6),
 ]
 
 
