@@ -10,15 +10,23 @@ config explicitly before any backend is initialized."""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+# GGNN_TPU_PERF=1 keeps the real TPU backend so the perf-threshold suite
+# (tests/test_perf_thresholds.py) can run on hardware:
+#   GGNN_TPU_PERF=1 python -m pytest tests/test_perf_thresholds.py -v
+# Everything else forces local CPU (the default CI mode; the perf suite
+# then skips itself via its requires_tpu marker).
+if os.environ.get("GGNN_TPU_PERF") == "1":
+    import jax
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
