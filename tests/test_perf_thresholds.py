@@ -74,10 +74,14 @@ CASES = [
     "name,extra,threshold", CASES,
     ids=[c.values[0] if hasattr(c, "values") else c[0] for c in CASES])
 def test_throughput_threshold(name, extra, threshold):
+    # 5400 s: the 1m_train_window case measured ~3300 s end-to-end on
+    # 2026-08-21 (remote compile variance dominates) — 3600 was a
+    # near-miss.  Full-suite green run: docs/probes/perf_thresholds_r6_full.log
+    # (8 passed in 2:19:48, TPU v5e via tunnel).
     out = subprocess.run(
         [sys.executable, "bench.py", "--dtype", "bfloat16",
          "--iters", "3", "--warmup", "1"] + extra,
-        capture_output=True, text=True, timeout=3600)
+        capture_output=True, text=True, timeout=5400)
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["value"] > threshold, (name, rec)
