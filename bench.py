@@ -396,9 +396,12 @@ def main() -> int:
                 # engine rate no longer binds. On-demand table windows +
                 # XW spill: the round-2 headline config (870.7M measured
                 # vs 788.7M table+legacy spill).
+                # q8=False pinned: this entry is the bit-exact bf16
+                # control even when the CLI passes --q8 (on_demand and
+                # quantized_table are mutually exclusive anyway)
                 return bench_backend("window", batch=_comm_batch(),
                                      block_rows=512, fuse_gru=True,
-                                     on_demand=True)
+                                     on_demand=True, q8=False)
 
             def _community_q8():
                 # int8 serving mode (values-only int8 table + int8-MXU

@@ -1914,8 +1914,10 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
     aggregation added into ``a`` before the GRU epilogue (the sharded
     halo path's remote-edge contribution) — differentiable (its
     cotangent is da's leading rows, so R must not exceed N = h.shape[0];
-    the halo path always satisfies this).  Not supported with
-    quantized."""
+    the halo path always satisfies this).  Composes with ``quantized``
+    (round 6): the extra partial is computed in bf16 outside and folds
+    into the init stream, so sharded q8 serving carries no quantization
+    noise on cross-shard edges."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if extra_init is not None and extra_init.shape[0] > h.shape[0]:
@@ -1962,7 +1964,7 @@ def gru_window_step(h, layout: DeviceWindowLayout, msg_w, msg_b, gru: dict,
             # is the headline community config's spill)
             init = _spill_partial(h.astype(cdt), None, arrs, spill_meta,
                                   msg_w, msg_b, interpret)
-        elif has_init:
+        elif spill_meta is not None:
             # legacy table-gather spill: dequantize the gathered int8
             # rows via the [n_wins] scales vector (KiB-scale footprint —
             # the extra row//W gather is engine-cheap; the round-3

@@ -139,6 +139,35 @@ def test_fused_gru_step_parity(rng, pack, min_edges, row_major):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_quantized_step_extra_init_no_spill(rng):
+    """quantized + extra_init on a layout with NO spill population: the
+    init stream must come from extra_init alone (a round-6 review found
+    the branch keyed on has_init and reached for s_gather_idx that a
+    spill-free layout does not have)."""
+    from ggnn_tpu.models.ggnn import gru_update
+    from ggnn_tpu.ops.window_pallas import gru_window_step
+    N, E, T2, D, W = 256, 3000, 4, 128, 256
+    src, dst, typ, mask = random_edges(rng, N, E, T2)
+    lay = build_window_layout(src, dst, typ, mask, N, window=W,
+                              min_edges_per_tile=1, n_message_types=T2,
+                              block_rows=256, row_major="block")
+    assert lay.meta[4] is None  # genuinely spill-free
+    cfg = ModelConfig(state_dim=D, annotation_dim=2, n_edge_types=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prop = params["prop"]
+    h = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    extra = jax.random.normal(jax.random.PRNGKey(2), (N, D)) * 0.1
+    a = aggregate_window(h, lay, prop["msg_w"], prop["msg_b"],
+                         interpret=True)
+    ref = gru_update(prop["gru"], h, a + extra)
+    got = gru_window_step(h, lay, prop["msg_w"], prop["msg_b"],
+                          prop["gru"], interpret=True, quantized=True,
+                          extra_init=extra)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.1, atol=0.08)
+    assert float(jnp.mean(jnp.abs(got - ref))) < 1e-2
+
+
 @pytest.mark.parametrize("min_edges,typed_spill",
                          [(2, False), (120, False), (120, True)])
 def test_quantized_fused_step(rng, min_edges, typed_spill):
