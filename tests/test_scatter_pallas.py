@@ -292,6 +292,36 @@ def test_typed_pack_chunked_parity(rng):
     np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_1))
 
 
+@pytest.mark.parametrize("seed,cap", [(1, 5), (2, 11), (3, 23)])
+def test_typed_pack_chunked_fuzz(seed, cap):
+    """Fuzz the chunk-boundary machinery: random graphs × odd SMEM caps
+    must stay bit-identical to the un-chunked layout (fwd + dh)."""
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    r = np.random.default_rng(seed)
+    N = 128 * int(r.integers(2, 6))
+    E, T2, D = int(r.integers(500, 4000)), int(r.integers(2, 9)), 128
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = r.integers(0, N, E).astype(np.int32)
+    typ = r.integers(0, T2, E).astype(np.int32)
+    mask = (r.random(E) < 0.85).astype(np.float32)
+    lay_1 = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True)
+    lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True, smem_tile_cap=cap)
+    w = jax.random.normal(jax.random.PRNGKey(seed), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(seed + 1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(seed + 2), (N, D))
+    ref = aggregate_onehot(h, lay_1, w, b, interpret=True)
+    got = aggregate_onehot(h, lay_c, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    g_r = jax.grad(lambda hh: jnp.sum(aggregate_onehot(
+        hh, lay_1, w, b, interpret=True) ** 2))(h)
+    g_c = jax.grad(lambda hh: jnp.sum(aggregate_onehot(
+        hh, lay_c, w, b, interpret=True) ** 2))(h)
+    np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_r))
+
+
 def test_typed_fused_step_parity_and_grads(rng):
     """Fused typed step (onehot backend + cfg.fuse_gru: GRU in the
     scatter kernel's epilogue, custom VJP whose fwd rule recomputes the
