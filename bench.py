@@ -146,7 +146,10 @@ def main() -> int:
                       fuse_gru: bool | None = None,
                       on_demand: bool | None = None,
                       q8: bool | None = None,
-                      xw: bool | None = None) -> float:
+                      xw: bool | None = None,
+                      mode: str | None = None,
+                      remat: bool | None = None,
+                      chain: int | None = None) -> float:
         n_dir_edges = int(batch.edge_mask.sum())
         if fuse_gru is None:
             fuse_gru = args.fuse_gru
@@ -156,11 +159,17 @@ def main() -> int:
             q8 = args.q8
         if xw is None:
             xw = args.xw_spill
+        if mode is None:
+            mode = args.mode
+        if remat is None:
+            remat = args.remat
+        if chain is None:
+            chain = args.chain
         cfg = ModelConfig(state_dim=args.dim, annotation_dim=8,
                           n_edge_types=args.types, n_steps=args.steps,
                           backend=backend, agg_strategy=args.agg,
                           compute_dtype=args.dtype,
-                          remat=(args.remat and args.mode == "train"),
+                          remat=(remat and mode == "train"),
                           # the fused window+GRU step is trainable since
                           # round 2 (emit_res custom VJP); the onehot
                           # backend's typed path fuses by DEFAULT (its
@@ -170,7 +179,13 @@ def main() -> int:
                                     and backend in ("window", "onehot")),
                           quantized_table=(q8 and fuse_gru
                                            and backend == "window"
-                                           and args.mode == "fwd"))
+                                           and mode == "fwd"))
+        if q8 and not cfg.quantized_table:
+            # ADVICE r3: never let a --q8 run silently record a plain
+            # bf16 number — q8 is serving-only (fwd + fuse_gru + window)
+            print(f"# WARNING: q8 requested but NOT engaged for backend="
+                  f"{backend} mode={mode} fuse_gru={fuse_gru} — "
+                  f"recording a bf16 number", file=sys.stderr)
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "window":
@@ -181,7 +196,7 @@ def main() -> int:
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
                 n_message_types=2 * args.types,
                 block_rows=block_rows or args.block_rows,
-                with_grad=(args.mode == "train"),
+                with_grad=(mode == "train"),
                 pack_counts=do_pack,
                 # XW (no-table) spill: required by on_demand; opt-in with
                 # a table via --xw_spill (the round-4 per-(block,type)
@@ -217,7 +232,7 @@ def main() -> int:
                 layout = build_dst_block_layout(
                     batch.edge_src, batch.edge_dst, batch.edge_type,
                     batch.edge_mask, batch.spec.n_pad, tile_e=2048,
-                    with_grad=(args.mode == "train"),
+                    with_grad=(mode == "train"),
                     n_message_types=2 * args.types,
                     # 16-aligned packing: the per-row gather engine reads
                     # ~real rows instead of tile_e-padded (grad layouts
@@ -236,14 +251,14 @@ def main() -> int:
                     batch.edge_src, batch.edge_dst, batch.edge_type,
                     batch.edge_mask, batch.spec.n_pad,
                     n_message_types=2 * args.types,
-                    with_grad=(args.mode == "train"))
+                    with_grad=(mode == "train"))
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),
                jnp.asarray(batch.edge_mask), jnp.asarray(batch.type_offsets),
                layout)
 
-        if args.mode == "fwd":
+        if mode == "fwd":
             from ggnn_tpu.models.ggnn import init_state
 
             @functools.partial(jax.jit, static_argnames=("chain",))
@@ -308,12 +323,12 @@ def main() -> int:
         from ggnn_tpu.profiling import trace
         with trace(args.profile):
             t1 = timed(1)
-            tc = timed(args.chain) if args.chain > 1 else t1
+            tc = timed(chain) if chain > 1 else t1
         # steady-state per-iteration time: the fixed per-call fetch
         # roundtrip cancels in the difference
-        per = (tc - t1) / (args.chain - 1) if args.chain > 1 else t1
+        per = (tc - t1) / (chain - 1) if chain > 1 else t1
         if per <= 0:  # timing noise floor — fall back to the amortized rate
-            per = tc / args.chain
+            per = tc / chain
         return n_dir_edges * args.steps / per
 
     if args.legacy_spill:
@@ -326,6 +341,25 @@ def main() -> int:
               file=sys.stderr)
 
     t_start = time.perf_counter()
+    # Perf provenance (VERDICT r3 #7): every record carries the git rev +
+    # a timestamp, and the final record of each run is appended to the
+    # committed docs/perf_ledger.jsonl — so a number can always be
+    # attributed to the exact code state that produced it.
+    import datetime
+    import pathlib
+    import subprocess
+    repo_dir = pathlib.Path(__file__).resolve().parent
+    try:
+        git_rev = subprocess.run(
+            ["git", "-C", str(repo_dir), "rev-parse", "--short=12", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() \
+            or "unknown"
+        dirty = bool(subprocess.run(
+            ["git", "-C", str(repo_dir), "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10).stdout.strip())
+    except Exception:
+        git_rev, dirty = "unknown", False
     # Driver-certified round-1 xla fallback on the DEFAULT config
     # (BENCH_r01.json) — used for vs_baseline only until/unless xla is
     # measured in this run, so an early external timeout still yields a
@@ -365,10 +399,15 @@ def main() -> int:
                        "dim": args.dim, "steps": args.steps,
                        "device": str(jax.devices()[0])},
             "elapsed_s": round(time.perf_counter() - t_start, 1),
+            "git_rev": git_rev + ("-dirty" if dirty else ""),
+            "timestamp": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "mode": args.mode,
         }
         if skipped:
             rec["skipped"] = list(skipped)
         print(json.dumps(rec), flush=True)
+        return rec
 
     # Measurement plan, headline FIRST (onehot is the uniform-graph value;
     # xla supplies vs_baseline; window_community is the clustered-graph
@@ -404,6 +443,10 @@ def main() -> int:
                                      on_demand=True, q8=False)
 
             def _community_q8():
+                # only reachable with args.mode == "fwd" (default_cfg
+                # requires it) — q8 is serving-only, so the label can
+                # never cover a bf16 train number (ADVICE r3)
+                assert args.mode == "fwd"
                 # int8 serving mode (values-only int8 table + int8-MXU
                 # window dots + XW spill): 893.0M vs the 872.7M bf16-table
                 # control at this config (2026-08-20 A/B) — the measured
@@ -414,11 +457,25 @@ def main() -> int:
                                      block_rows=512, fuse_gru=True,
                                      on_demand=False, q8=True, xw=True)
 
+            def _community_train():
+                # TRAINING record (VERDICT r3 #6): full fwd+bwd+Adam
+                # through the fused trainable window step (emit_res
+                # custom VJP) — same config as the perf-threshold case
+                # community_train_window (floor 215e6).  Placed before
+                # q8 so a budget cut loses the already-r03-certified q8
+                # entry rather than the first-ever driver train number.
+                return bench_backend("window", batch=_comm_batch(),
+                                     block_rows=512, fuse_gru=True,
+                                     on_demand=True, q8=False,
+                                     mode="train")
+
             plan.append(("window_community", _community))
+            plan.append(("window_community_train", _community_train))
             plan.append(("window_community_q8", _community_q8))
     else:
         plan.append((args.backend, lambda: bench_backend(args.backend)))
 
+    final_rec = None
     for name, fn in plan:
         elapsed = time.perf_counter() - t_start
         if results and elapsed > args.budget:
@@ -433,7 +490,18 @@ def main() -> int:
             print(f"# {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
         if results:
-            emit()
+            final_rec = emit()
+
+    # append-only provenance ledger (VERDICT r3 #7) — real-chip runs only
+    # (CPU test subprocesses would otherwise pollute it)
+    if final_rec is not None and jax.devices()[0].platform == "tpu":
+        try:
+            ledger = repo_dir / "docs" / "perf_ledger.jsonl"
+            ledger.parent.mkdir(exist_ok=True)
+            with open(ledger, "a") as f:
+                f.write(json.dumps(final_rec) + "\n")
+        except OSError as e:
+            print(f"# ledger append failed: {e}", file=sys.stderr)
 
     if not results:
         print(json.dumps({"metric": "edges_per_sec_per_chip", "value": 0.0,

@@ -225,6 +225,15 @@ def _chunk_blocks(tile_start, cap: int = SMEM_TILE_CAP):
     n_blocks = ts.shape[0] - 1
     if int(ts[-1]) <= cap:
         return None
+    over = np.flatnonzero(np.diff(ts) > cap)
+    if over.size:  # ADVICE r3: fail loudly instead of an opaque SMEM error
+        b = int(over[0])
+        raise ValueError(
+            f"dst block {b} alone holds {int(ts[b + 1] - ts[b])} tiles, "
+            f"over the SMEM chunk cap of {cap} (an extreme hub: >~{cap} "
+            f"tiles of edges into one 128-row dst block). Rebuild the "
+            f"layout with a larger tile_e to shrink the per-block tile "
+            f"count")
     bounds = []
     b0 = 0
     while b0 < n_blocks:

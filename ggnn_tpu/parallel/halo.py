@@ -272,6 +272,20 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     return out.reshape(-1, out.shape[-1])
 
 
+def _check_trainable(cfg: ModelConfig) -> None:
+    """The quantized fused window step is a raw (forward-only)
+    pallas_call; differentiating it dies with an opaque Pallas error.
+    Sharded training routes through exactly that code path when
+    ``cfg.quantized_table`` is set, so fail loudly up front (ADVICE r3)."""
+    if cfg.quantized_table:
+        raise ValueError(
+            "quantized_table=True is a SERVING mode (forward-only int8 "
+            "table) and cannot be differentiated; train with "
+            "quantized_table=False, then serve the trained weights "
+            "quantized (sharded q8 serving works — see "
+            "tests/test_distributed.py)")
+
+
 def make_sharded_train_step(cfg: ModelConfig, mesh, optimizer,
                             strategy: str = "halo_overlap",
                             axis_name: str = "graph", loss_fn=None,
@@ -300,6 +314,7 @@ def make_sharded_train_step(cfg: ModelConfig, mesh, optimizer,
 
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
+    _check_trainable(cfg)
     if strategy in ("halo_onehot", "halo_window") and halo_meta is None:
         raise ValueError(
             f"strategy {strategy!r} needs halo_meta= from "
@@ -624,6 +639,7 @@ def make_sharded_task_train_step(cfg: ModelConfig, mesh, optimizer,
     (pinned by tests/test_distributed.py)."""
     import optax
 
+    _check_trainable(cfg)
     objective = _make_sharded_objective(cfg, mesh, n_graphs, strategy,
                                         axis_name, halo_meta)
 

@@ -27,6 +27,15 @@ from ggnn_tpu.train.metrics import MetricsLogger
 
 
 def make_train_step(model_cfg, n_graphs: int, optimizer):
+    if getattr(model_cfg, "quantized_table", False):
+        # The quantized fused window step is a raw (forward-only)
+        # pallas_call — differentiating it fails with an opaque Pallas
+        # error.  Fail loudly here instead (ADVICE r3).
+        raise ValueError(
+            "quantized_table=True is a SERVING mode (forward-only int8 "
+            "table); train with quantized_table=False and quantize the "
+            "trained weights for serving")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, arrays, scatter_layout=None):
         def loss_fn(p):

@@ -63,6 +63,15 @@ CASES = [
     # (commit 62c95fc): 108.6M measured 2026-08-20 — the config hit the
     # SMEM cap (fwd) and HBM (train) before; covers the chunked fwd +
     # chunked grad reverse scatter in one case
+    # 1M-node / 20M-edge community SERVING, the certified exact config
+    # (bf16 + prebuilt table + fused step + legacy table-gather spill,
+    # block_rows 256): 432.0M measured 2026-08-20 (BASELINE.md round-6
+    # matrix — the r3 495.0M is superseded).  chain 2: chain 5 fwd at 1M
+    # compiles, but 2 keeps the window inside one tunnel session.
+    ("1m_community_fwd_window",
+     ["--nodes", "1000000", "--edges", "10000000", "--types", "8",
+      "--communities", "4096", "--backend", "window", "--block_rows", "256",
+      "--window", "512", "--fuse_gru", "--chain", "2"], 345e6),
     ("1m_uniform_train_onehot",
      ["--nodes", "1000000", "--edges", "10000000", "--backend", "onehot",
       "--mode", "train", "--remat", "--chain", "1"], 86e6),

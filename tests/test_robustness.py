@@ -79,3 +79,35 @@ def test_extreme_state_values_no_nan():
     assert np.isfinite(np.asarray(lp[np.asarray(mask) > 0])).all()
     assert abs(float(p[0] + p[1]) - 1.0) < 1e-6
     assert float(p[3]) == 0.0
+
+
+def test_quantized_table_training_guard():
+    """quantized_table is serving-only (the int8 fused step is a raw
+    forward-only pallas_call) — the train-step factories fail loudly
+    instead of dying inside Pallas differentiation (ADVICE r3)."""
+    import optax
+
+    from ggnn_tpu.parallel.halo import make_sharded_train_step
+    from ggnn_tpu.train.loop import make_train_step
+    cfg = ModelConfig(state_dim=128, backend="window", fuse_gru=True,
+                      quantized_table=True)
+    with pytest.raises(ValueError, match="SERVING"):
+        make_train_step(cfg, 4, optax.adam(1e-3))
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    with pytest.raises(ValueError, match="SERVING"):
+        make_sharded_train_step(cfg, mesh, optax.adam(1e-3),
+                                strategy="halo_window", halo_meta={})
+
+
+def test_chunk_blocks_hub_over_cap_raises():
+    """A single dst block whose tile count alone exceeds the SMEM chunk
+    cap raises a descriptive error instead of a later Mosaic/SMEM one
+    (ADVICE r3)."""
+    from ggnn_tpu.ops.scatter_pallas import _chunk_blocks
+    tile_start = np.array([0, 3, 103, 110], np.int32)  # block 1: 100 tiles
+    with pytest.raises(ValueError, match="tile_e"):
+        _chunk_blocks(tile_start, cap=50)
+    # boundary: exactly-at-cap block splits fine
+    ok = _chunk_blocks(np.array([0, 50, 60], np.int32), cap=50)
+    assert ok == ((0, 1, 0, 50), (1, 2, 50, 60))
