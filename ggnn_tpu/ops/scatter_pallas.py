@@ -226,7 +226,11 @@ def _chunk_blocks(tile_start, cap: int = SMEM_TILE_CAP):
     if int(ts[-1]) <= cap:
         return None
     over = np.flatnonzero(np.diff(ts) > cap)
-    if over.size:  # ADVICE r3: fail loudly instead of an opaque SMEM error
+    if over.size and cap >= SMEM_TILE_CAP:
+        # ADVICE r3: fail loudly instead of an opaque SMEM error — but
+        # only at real SMEM-scale caps; tests drive this machinery with
+        # tiny artificial caps where single blocks exceed them by design
+        # (a single-block chunk is functionally fine, SMEM permitting)
         b = int(over[0])
         raise ValueError(
             f"dst block {b} alone holds {int(ts[b + 1] - ts[b])} tiles, "

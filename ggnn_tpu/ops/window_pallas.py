@@ -1153,7 +1153,8 @@ def window_block_spmm_ondemand(h, msg_w, msg_b, c_stream, tile_start,
 def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
                              tile_start_ref, c_off_ref, dat_hbm, c_hbm,
                              w_hbm, h_hbm, dht_hbm, dwt_hbm, acc, dht_buf,
-                             dat_buf, c_buf, w_buf, h_buf, dwt_acc, dat_sem,
+                             dat_buf, c_buf, w_buf, h_buf, dwt_acc, vbuf,
+                             dat_sem,
                              c_sem, w_sem, h_sem, dh_sem, dw_sem, *, window,
                              nbuf, n_wins, out_rows, t2, n_src_blocks, wpb):
     """Transposed window pass with a FUSED dh/dW epilogue, all in the
@@ -1273,34 +1274,46 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
             start_in(slot, t + nbuf)
 
         # epilogue when the LAST window of a src block completes: all wpb
-        # window slots of block b are resident; slab types are STATIC
+        # window slots of block b are resident; slab types are STATIC.
+        # The naive epilogue issued 2·T2 latency-bound [D,D]·[D,128] dots
+        # per src block (~65K small dots per step at the 262K headline —
+        # measured ~3.5 ms of the 8.9 ms kernel); instead the slabs are
+        # assembled (pure [D,128] VMEM block copies, no transposes) into
+        # one [T2·D, 128] stack and the epilogue is TWO full-MXU dots:
+        #   dhᵀ_blk = Wcat [D, T2·D] @ vbuf   (contraction over (t, f))
+        #   dWᵀ    += vbuf @ h_blk [128, D]   (all T2 slices at once)
         @pl.when(jnp.logical_and(last, jax.lax.rem(blk, wpb) == wpb - 1))
         def _():
             b = blk // wpb
             hslot = jax.lax.rem(b, 2)
             base = hslot * wpb               # first acc slot of this block
+            D = dht_buf.shape[1]
 
             @pl.when(b >= 2)
             def _():
                 dh_out(hslot, b - 2).wait()  # dht_buf[hslot] frees
-            dht_buf[hslot] = jnp.zeros_like(dht_buf[hslot])
             h_dma(hslot, b).wait()           # prefetched two blocks ago
             for w_loc in range(wpb):
-                @pl.when(nonempty(blk - (wpb - 1) + w_loc))
+                ne = nonempty(blk - (wpb - 1) + w_loc)
+
+                @pl.when(ne)
                 def _(w_loc=w_loc):
-                    dht_part = None
                     for j in range(S):
                         tt = w_loc * S + j   # STATIC type index
-                        slab = acc[base + w_loc, :,
-                                   j * 128:(j + 1) * 128].astype(
-                                       w_buf.dtype)
-                        d = jnp.dot(w_buf[tt], slab,
-                                    preferred_element_type=jnp.float32)
-                        dht_part = d if dht_part is None else dht_part + d
-                        dwt_acc[tt] += jnp.dot(
-                            slab, h_buf[hslot],
-                            preferred_element_type=jnp.float32)
-                    dht_buf[hslot] += dht_part
+                        vbuf[tt * D:(tt + 1) * D, :] = acc[
+                            base + w_loc, :, j * 128:(j + 1) * 128].astype(
+                                vbuf.dtype)
+
+                @pl.when(jnp.logical_not(ne))
+                def _(w_loc=w_loc):          # stale slot → zero its slabs
+                    vbuf[w_loc * S * D:(w_loc + 1) * S * D, :] = (
+                        jnp.zeros((S * D, 128), vbuf.dtype))
+            dht_buf[hslot] = jnp.dot(
+                w_buf[...], vbuf[...],
+                preferred_element_type=jnp.float32)
+            dwt_acc[...] += jnp.dot(
+                vbuf[...], h_buf[hslot],
+                preferred_element_type=jnp.float32)
             dh_out(hslot, b).start()
 
             @pl.when(b + 2 < n_src_blocks)
@@ -1339,6 +1352,9 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
         raise ValueError("n_wins inconsistent with T2*N/W")
     wpb = (t2 * 128) // out_rows         # table windows per src block
     msg_w = msg_w.astype(h.dtype)        # one dtype for the w/h buffers
+    # Wcat [D, T2*D]: per-type weights side by side so the batched
+    # epilogue's dhT dot contracts over all (t, f) at once
+    wcat = msg_w.transpose(1, 0, 2).reshape(D, t2 * D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
@@ -1353,9 +1369,10 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
             pltpu.VMEM((2, D, 128), jnp.float32),            # dht_buf
             pltpu.VMEM((nbuf, D, window), da_t.dtype),       # dat_buf (āᵀ)
             pltpu.VMEM((nbuf, window, out_rows), c_stream.dtype),
-            pltpu.VMEM(msg_w.shape, msg_w.dtype),            # w_buf
+            pltpu.VMEM((D, t2 * D), msg_w.dtype),            # w_buf (Wcat)
             pltpu.VMEM((2, 128, D), msg_w.dtype),            # h_buf
-            pltpu.VMEM((t2, D, D), jnp.float32),             # dwt_acc
+            pltpu.VMEM((t2 * D, D), jnp.float32),            # dwt_acc
+            pltpu.VMEM((t2 * D, 128), msg_w.dtype),          # vbuf (slabs)
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
@@ -1367,11 +1384,11 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
     kernel = functools.partial(_window_bwd_fused_kernel, window=window,
                                nbuf=nbuf, n_wins=n_wins, out_rows=out_rows,
                                t2=t2, n_src_blocks=N // 128, wpb=wpb)
-    return pl.pallas_call(
+    dht, dwt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((D, N), jnp.float32),
-                   jax.ShapeDtypeStruct((t2, D, D), jnp.float32)],
+                   jax.ShapeDtypeStruct((t2 * D, D), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * win_of_tile.shape[0] * out_rows * window * D
@@ -1382,7 +1399,8 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
             transcendentals=0,
         ),
     )(block_of_tile, win_of_tile, tile_start, c_off, da_t, c_stream,
-      msg_w, h)
+      wcat, h)
+    return dht, dwt.reshape(t2, D, D)
 
 
 def _table_block_kernel(h_ref, w_ref, b_ref, out_ref):

@@ -100,14 +100,22 @@ def main():
             n_message_types=16, block_rows=br, with_grad=False,
             typed_spill=typed, on_demand=False, row_major="block")
         key = "xw" if typed else "leg"
-        # keep ONLY the spill arrays (the window streams are GBs at 1M
-        # and two full layouts + the table would blow HBM)
+        # keep ONLY the spill arrays — the window streams are device-
+        # resident GBs at 1M; free them IMMEDIATELY (two layouts + the
+        # 4.3 GB table OOM'd 16 GB HBM otherwise)
+        stats = dict(lay.stats)
+        for k in list(lay.arrays.keys()):
+            if not k.startswith("s"):
+                lay.arrays[k].delete()
+                del lay.arrays[k]
         spill_arrs[key] = {k: np.asarray(v) for k, v in lay.arrays.items()
-                          if k.startswith("s") and not k.startswith(
-                              ("sb_",))}
+                           if not k.startswith("sb_")}
         metas[key] = lay.spill_meta
+        for v in lay.arrays.values():
+            v.delete()
+        del lay
         if typed:
-            print(f"xw stats: {lay.stats}", flush=True)
+            print(f"xw stats: {stats}", flush=True)
     sm_xw, sm_leg = metas["xw"], metas["leg"]
     offs = sm_xw[8]
     tot = int(offs[-1])

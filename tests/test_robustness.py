@@ -104,10 +104,16 @@ def test_chunk_blocks_hub_over_cap_raises():
     """A single dst block whose tile count alone exceeds the SMEM chunk
     cap raises a descriptive error instead of a later Mosaic/SMEM one
     (ADVICE r3)."""
-    from ggnn_tpu.ops.scatter_pallas import _chunk_blocks
-    tile_start = np.array([0, 3, 103, 110], np.int32)  # block 1: 100 tiles
+    from ggnn_tpu.ops.scatter_pallas import SMEM_TILE_CAP, _chunk_blocks
+    cap = SMEM_TILE_CAP
+    hub = cap + 50
+    tile_start = np.array([0, 3, 3 + hub, 3 + hub + 7], np.int64)
     with pytest.raises(ValueError, match="tile_e"):
-        _chunk_blocks(tile_start, cap=50)
+        _chunk_blocks(tile_start, cap=cap)
+    # tiny artificial caps (the fuzz tests' regime) keep the permissive
+    # single-block-chunk behavior
+    ok = _chunk_blocks(np.array([0, 3, 103, 110], np.int64), cap=50)
+    assert ok is not None
     # boundary: exactly-at-cap block splits fine
-    ok = _chunk_blocks(np.array([0, 50, 60], np.int32), cap=50)
-    assert ok == ((0, 1, 0, 50), (1, 2, 50, 60))
+    ok = _chunk_blocks(np.array([0, cap, cap + 10], np.int64), cap=cap)
+    assert ok == ((0, 1, 0, cap), (1, 2, cap, cap + 10))
