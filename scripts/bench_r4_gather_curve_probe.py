@@ -40,9 +40,14 @@ def timeit(fn):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def gather_chain(table, idx, k):
+    # HARD loop-carried dependency: idx is perturbed by a data-dependent
+    # zero each iteration, so XLA cannot hoist the gather out of the
+    # loop (the first version of this probe was LICM'd at >=2 GB tables
+    # and reported a physically impossible 0.12 ns/row)
     def body(i, acc):
-        g = table[idx]
-        return acc + g[:8].astype(jnp.float32) + 1e-30 * acc[0, 0]
+        zero = (acc[0, 0] * 1e-30).astype(idx.dtype)
+        g = table[idx + zero]
+        return acc + g[:8].astype(jnp.float32)
     acc = jax.lax.fori_loop(0, k, body,
                             jnp.zeros((8, table.shape[1]), jnp.float32))
     return jnp.sum(acc)

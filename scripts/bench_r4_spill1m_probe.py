@@ -165,9 +165,14 @@ def main():
         x.astype(jnp.bfloat16), None, aux, sm_xw, msg_w, msg_b,
         INTERP)[:N].astype(x.dtype))
 
-    leg_full = chained(lambda x, aux: x * 0 + wp._spill_scatter(
-        aux[0], aux[1], sm_leg, INTERP)[:N].astype(x.dtype)
-        + 1e-30 * x[0, 0])
+    def _leg_full(x, aux):
+        t, arrs_ = aux
+        zero = (x[0, 0] * 1e-30).astype(arrs_["s_gather_idx"].dtype)
+        a2 = dict(arrs_)
+        a2["s_gather_idx"] = arrs_["s_gather_idx"] + zero  # hard dep
+        return x * 0 + wp._spill_scatter(t, a2, sm_leg,
+                                         INTERP)[:N].astype(x.dtype)
+    leg_full = chained(_leg_full)
 
     def _ge(x, aux):
         m = _msgs(x.astype(jnp.bfloat16), aux)
@@ -176,20 +181,23 @@ def main():
 
     def _perm(x, aux):
         m, idx = aux
-        g = m[idx]
-        return x * 0 + g[:N].astype(x.dtype) + 1e-30 * x[0, 0]
+        zero = (x[0, 0] * 1e-30).astype(idx.dtype)
+        g = m[idx + zero]     # hard dep: un-hoistable (LICM hygiene)
+        return x * 0 + g[:N].astype(x.dtype)
     xw_perm = chained(_perm)
 
     def _scat(x, aux):
         m, arrs_ = aux
+        m = m + (x[0, 0] * 1e-30).astype(m.dtype)  # hard dep (~1 pack pass)
         out = wp._spill_scatter_msgs(m, arrs_, sm_xw, INTERP)
-        return x * 0 + out[:N].astype(x.dtype) + 1e-30 * x[0, 0]
+        return x * 0 + out[:N].astype(x.dtype)
     spill_scat = chained(_scat)
 
     def _lgather(x, aux):
         t, idx = aux
-        g = t[idx]
-        return x * 0 + g[:N].astype(x.dtype) + 1e-30 * x[0, 0]
+        zero = (x[0, 0] * 1e-30).astype(idx.dtype)
+        g = t[idx + zero]     # hard dep: un-hoistable
+        return x * 0 + g[:N].astype(x.dtype)
     leg_gather = chained(_lgather)
 
     print(f"device: {jax.devices()[0]}", flush=True)
