@@ -189,8 +189,16 @@ def main() -> int:
         params = init_params(jax.random.PRNGKey(0), cfg)
         layout = None
         if backend == "window":
-            from ggnn_tpu.ops.window_pallas import build_window_layout
+            from ggnn_tpu.ops.window_pallas import (build_window_layout,
+                                                    prefer_xw_spill)
             do_pack = args.pack if pack is None else pack
+            # auto spill-regime switch (VERDICT r3 #2): --xw_spill still
+            # forces XW; otherwise the measured heuristic picks — XW for
+            # on-demand (required) and for q8 under the gather cliff,
+            # legacy table-gather everywhere else
+            auto_xw = prefer_xw_spill(
+                batch.spec.n_pad, args.dim,
+                quantized=cfg.quantized_table, on_demand=on_demand)
             layout = build_window_layout(
                 batch.edge_src, batch.edge_dst, batch.edge_type,
                 batch.edge_mask, batch.spec.n_pad, window=args.window,
@@ -209,7 +217,7 @@ def main() -> int:
                 # dequantizes via the scales vector) — at 1M the legacy
                 # spill is 27% faster (432.0 vs 339.0M, 2026-08-20), so
                 # q8 no longer forces the XW spill; pass --xw_spill
-                typed_spill=((on_demand or xw)
+                typed_spill=((xw or auto_xw)
                              and not do_pack
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,

@@ -111,6 +111,38 @@ def _pack_nibbles(c: np.ndarray) -> np.ndarray:
     return out.view(np.int8)
 
 
+# The per-row gather engine's measured rate cliff (TPU v5e, 2026-08-21,
+# scripts/bench_r4_gather_curve_probe.py with LICM-proof chaining):
+# ~1.7 ns/row when the gathered buffer is <= ~67 MB, ~5.7 ns/row from
+# ~134 MB up — monotonic (a 2.1 GB table gathers at the same 5.7; the
+# earlier "fast at >=1 GB" readings were loop-invariant-hoisting
+# artifacts).  Rate is per ROW, not per byte — int8 rows gather at the
+# bf16 rate unless the narrower dtype moves the BUFFER under the cliff.
+GATHER_CLIFF_BYTES = 100e6  # boundary measured in (67 MB, 134 MB)
+
+
+def prefer_xw_spill(n_nodes_pad: int, state_dim: int, *,
+                    quantized: bool = False,
+                    on_demand: bool = False) -> bool:
+    """Regime heuristic for the spill mode (VERDICT r3 #2).
+
+    Measured A/Bs (262K/8M community vs 1M/20M, BASELINE.md round-6
+    matrix + the round-7 probes): with a table, the legacy one-pass
+    table-row gather wins or ties the XW typed spill everywhere in bf16
+    (262K: 867.4 vs 872.7 — tie; 1M: 432.0 vs 339.0 — legacy +27%,
+    because BOTH XW gathers (h 256 MB, msgs pack 284 MB) sit above the
+    gather cliff while legacy pays exactly one slow gather).  Under q8
+    the legacy spill adds an XLA-level dequant over the spill pack
+    (q8+legacy 631.2 at 262K) — XW avoids it and wins (893.0) — but only
+    while h sits under the cliff; at 1M q8+legacy (396.9) beats q8+XW
+    (375.0).  On-demand layouts have no table and REQUIRE the XW spill."""
+    if on_demand:
+        return True
+    if not quantized:
+        return False
+    return n_nodes_pad * state_dim * 2 <= GATHER_CLIFF_BYTES
+
+
 def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         n_nodes_pad: int, window: int = 512,
                         min_edges_per_tile: int = 32,

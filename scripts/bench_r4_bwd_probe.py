@@ -218,32 +218,44 @@ def main():
         return jnp.sum(da)
 
     print(f"device: {jax.devices()[0]}", flush=True)
+    only = os.environ.get("PROBE_ONLY")
+    only = set(only.split(",")) if only else None
     r = {}
-    r["train_full"] = diff(
-        "train_full", lambda: float(train_full(h, arrs, k=1)),
-        lambda: float(train_full(h, arrs, k=K)))
-    r["fwd_plain"] = diff(
-        "fwd_plain", lambda: float(fwd_plain(h, arrs, k=1)),
-        lambda: float(fwd_plain(h, arrs, k=K)))
-    r["fwd_emit"] = diff(
-        "fwd_emit", lambda: float(fwd_emit(h, arrs, k=1)),
-        lambda: float(fwd_emit(h, arrs, k=K)))
-    r["gru_bwd"] = diff(
-        "gru_bwd", lambda: float(gru_bwd(g0, resid, hc, k=1)),
-        lambda: float(gru_bwd(g0, resid, hc, k=K)))
-    r["agg_bwd"] = diff(
-        "agg_bwd", lambda: float(agg_bwd(g0, arrs, hc, k=1)),
-        lambda: float(agg_bwd(g0, arrs, hc, k=K)))
-    r["spill_bwd"] = diff(
-        "spill_bwd", lambda: float(spill_bwd(g0, arrs, hc, k=1)),
-        lambda: float(spill_bwd(g0, arrs, hc, k=K)))
-    r["kernel_bwd"] = diff(
-        "kernel_bwd", lambda: float(kernel_bwd(g0, arrs, hc, k=1)),
-        lambda: float(kernel_bwd(g0, arrs, hc, k=K)))
+    if only is None or "train_full" in only:
+        r["train_full"] = diff(
+            "train_full", lambda: float(train_full(h, arrs, k=1)),
+            lambda: float(train_full(h, arrs, k=K)))
+    if only is None or "fwd_plain" in only:
+        r["fwd_plain"] = diff(
+            "fwd_plain", lambda: float(fwd_plain(h, arrs, k=1)),
+            lambda: float(fwd_plain(h, arrs, k=K)))
+    if only is None or "fwd_emit" in only:
+        r["fwd_emit"] = diff(
+            "fwd_emit", lambda: float(fwd_emit(h, arrs, k=1)),
+            lambda: float(fwd_emit(h, arrs, k=K)))
+    if only is None or "gru_bwd" in only:
+        r["gru_bwd"] = diff(
+            "gru_bwd", lambda: float(gru_bwd(g0, resid, hc, k=1)),
+            lambda: float(gru_bwd(g0, resid, hc, k=K)))
+    if only is None or "agg_bwd" in only:
+        r["agg_bwd"] = diff(
+            "agg_bwd", lambda: float(agg_bwd(g0, arrs, hc, k=1)),
+            lambda: float(agg_bwd(g0, arrs, hc, k=K)))
+    if only is None or "spill_bwd" in only:
+        r["spill_bwd"] = diff(
+            "spill_bwd", lambda: float(spill_bwd(g0, arrs, hc, k=1)),
+            lambda: float(spill_bwd(g0, arrs, hc, k=K)))
+    if only is None or "kernel_bwd" in only:
+        r["kernel_bwd"] = diff(
+            "kernel_bwd", lambda: float(kernel_bwd(g0, arrs, hc, k=1)),
+            lambda: float(kernel_bwd(g0, arrs, hc, k=K)))
 
     print("\n=== summary (ms/iter) ===", flush=True)
     for k, v in r.items():
         print(f"  {k:12s} {v * 1e3:8.2f}", flush=True)
+    if not {"train_full", "fwd_emit", "gru_bwd", "agg_bwd", "spill_bwd",
+            "kernel_bwd", "fwd_plain"} <= set(r):
+        return
     bwd = r["train_full"] - r["fwd_emit"]
     print(f"  implied bwd  {bwd * 1e3:8.2f} (gru {r['gru_bwd'] * 1e3:.2f}"
           f" + agg {r['agg_bwd'] * 1e3:.2f} + misc "

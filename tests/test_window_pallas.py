@@ -687,3 +687,18 @@ def test_fused_gru_step_grads(rng, min_edges, on_demand):
     for got, ref in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_prefer_xw_spill_regimes():
+    """Auto spill heuristic (VERDICT r3 #2): XW only for on-demand
+    (required — no table) and for q8 under the measured ~100 MB gather
+    cliff; legacy table-gather everywhere else (round-6 matrix)."""
+    from ggnn_tpu.ops.window_pallas import prefer_xw_spill
+    # on_demand always XW
+    assert prefer_xw_spill(1_000_192, 128, on_demand=True)
+    # bf16 table mode: legacy at both scales
+    assert not prefer_xw_spill(262_144, 128)
+    assert not prefer_xw_spill(1_000_192, 128)
+    # q8: XW at 262K (h 67 MB, under the cliff), legacy at 1M (256 MB)
+    assert prefer_xw_spill(262_144, 128, quantized=True)
+    assert not prefer_xw_spill(1_000_192, 128, quantized=True)
