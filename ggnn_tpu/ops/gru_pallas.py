@@ -149,11 +149,19 @@ def gru_cell_fwd(h, a, w_a, b_all, u_zr, uh, mdt: str = "bfloat16",
       u_zr.astype(rdt), uh.astype(rdt))
 
 
-@functools.partial(jax.jit, static_argnames=("mdt", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("mdt", "interpret", "da_dtype"))
 def gru_cell_bwd(g, h, a, z, r, htil, w_a, u_zr, uh,
-                 mdt: str = "bfloat16", interpret: bool = False):
+                 mdt: str = "bfloat16", interpret: bool = False,
+                 da_dtype: str = "float32"):
     """Fused backward: returns (dh, da, dW_a, db, dU_zr, dU_h); parameter
-    grads accumulate in VMEM f32 across the sequential grid."""
+    grads accumulate in VMEM f32 across the sequential grid.
+
+    ``da_dtype``: emit the aggregation cotangent narrow (bf16) when its
+    consumers are the bf16 window/spill backward kernels — saves the
+    f32 write + the downstream cast passes over [N, D] (the fused-step
+    VJP passes the compute dtype; db then accumulates f32 from bf16 da
+    rows, consistent with the overall bf16-compute policy)."""
     N, D = h.shape
     block = pick_block(N)
     if not block:
@@ -170,7 +178,7 @@ def gru_cell_bwd(g, h, a, z, r, htil, w_a, u_zr, uh,
         out_specs=[row(D), row(D), full(D, 3 * D), full(1, 3 * D),
                    full(D, 2 * D), full(D, D)],
         out_shape=[jax.ShapeDtypeStruct((N, D), jnp.float32),
-                   jax.ShapeDtypeStruct((N, D), jnp.float32),
+                   jax.ShapeDtypeStruct((N, D), jnp.dtype(da_dtype)),
                    jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
                    jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
                    jax.ShapeDtypeStruct((D, 2 * D), jnp.float32),

@@ -2131,7 +2131,11 @@ def _fused_gru_step_bwd(meta, interpret, res, g):
     # N carry no gradient: their h_new rows are pad-only)
     dh1, da, dwa, db3, duzr, duh = gru_cell_bwd(
         g[:N].astype(jnp.float32), hc, a, z, r, htil, wa, uzr, uh,
-        mdt=jnp.dtype(cdt).name, interpret=interpret)
+        mdt=jnp.dtype(cdt).name, interpret=interpret,
+        # narrow da: every consumer (spill gather, transposed kernel,
+        # f32-accumulating db einsum) wants the compute dtype — saves
+        # the f32 [N, D] write plus two cast passes per step
+        da_dtype=jnp.dtype(cdt).name)
     # aggregation backward (fused bwd kernel + spill backward + indeg db)
     d_arrs, dh2, dW, dbm = _aggregate_window_bwd(
         meta, interpret, (arrs, hc, msg_w), da)
