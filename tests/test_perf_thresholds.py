@@ -41,7 +41,7 @@ CASES = [
     pytest.param(
         "community_train_window",
         ["--backend", "window", "--communities", "512", "--block_rows",
-         "512", "--mode", "train", "--on_demand", "--fuse_gru"], 215e6,
+         "512", "--mode", "train", "--on_demand", "--fuse_gru"], 220e6,
         marks=pytest.mark.quick),
     ("scalefree_fwd_window",
      ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
@@ -59,10 +59,6 @@ CASES = [
       "--communities", "4096", "--backend", "window", "--block_rows", "256",
       "--window", "512", "--mode", "train", "--on_demand", "--remat",
       "--fuse_gru", "--chain", "1"], 212e6),
-    # 1M-node UNIFORM training through the SMEM-chunked typed path
-    # (commit 62c95fc): 108.6M measured 2026-08-20 — the config hit the
-    # SMEM cap (fwd) and HBM (train) before; covers the chunked fwd +
-    # chunked grad reverse scatter in one case
     # 1M-node / 20M-edge community SERVING, the certified exact config
     # (bf16 + prebuilt table + fused step + legacy table-gather spill,
     # block_rows 256): 432.0M measured 2026-08-20 (BASELINE.md round-6
@@ -72,6 +68,10 @@ CASES = [
      ["--nodes", "1000000", "--edges", "10000000", "--types", "8",
       "--communities", "4096", "--backend", "window", "--block_rows", "256",
       "--window", "512", "--fuse_gru", "--chain", "2"], 345e6),
+    # 1M-node UNIFORM training through the SMEM-chunked typed path
+    # (commit 62c95fc): 108.6M measured 2026-08-20 — the config hit the
+    # SMEM cap (fwd) and HBM (train) before; covers the chunked fwd +
+    # chunked grad reverse scatter in one case
     ("1m_uniform_train_onehot",
      ["--nodes", "1000000", "--edges", "10000000", "--backend", "onehot",
       "--mode", "train", "--remat", "--chain", "1"], 86e6),
