@@ -162,6 +162,7 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         spill_bwd_tile_e: int | None = None,
                         spill_bwd_pad_tiles_to: int | None = None,
                         typed_spill: bool = False,
+                        spill_dst_order: bool = False,
                         on_demand: bool = False) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
@@ -315,8 +316,17 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
         n_spill = int((~keep).sum())
         sp_t, sp_u = decode_rows(rows[~keep])
         sp_d = dst[~keep]
-        order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
-                           kind="stable")            # type-major
+        if spill_dst_order:
+            # keep the incoming dst-block-tile order WITHIN each type:
+            # the scatter-pack permutation gather (s_gather_idx) then
+            # reads T2 interleaved ascending runs instead of random
+            # positions — probing the ordered-stream gather effect at
+            # footprints above the cliff (round-7 lead; the trade is a
+            # src-random h gather in the bucket transform)
+            order = np.argsort(sp_t, kind="stable")
+        else:
+            order = np.argsort(sp_t * np.int64(n_src_rows) + sp_u,
+                               kind="stable")        # type-major, src-asc
         spt, spu, spd = sp_t[order], sp_u[order], sp_d[order]
         cnt = np.bincount(spt, minlength=t2)
         if spill_bwd_bucket is not None:

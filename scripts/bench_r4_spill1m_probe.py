@@ -93,13 +93,15 @@ def main():
                             p_intra=0.95)
     spill_arrs = {}
     metas = {}
-    for typed in (True, False):
+    for key, typed, dst_order in (("xw", True, False),
+                                  ("xwd", True, True),
+                                  ("leg", False, False)):
         lay = wp.build_window_layout(
             batch.edge_src, batch.edge_dst, batch.edge_type,
             batch.edge_mask, batch.spec.n_pad, window=win,
             n_message_types=16, block_rows=br, with_grad=False,
-            typed_spill=typed, on_demand=False, row_major="block")
-        key = "xw" if typed else "leg"
+            typed_spill=typed, spill_dst_order=dst_order,
+            on_demand=False, row_major="block")
         # keep ONLY the spill arrays — the window streams are device-
         # resident GBs at 1M; free them IMMEDIATELY (two layouts + the
         # 4.3 GB table OOM'd 16 GB HBM otherwise)
@@ -117,6 +119,7 @@ def main():
         if typed:
             print(f"xw stats: {stats}", flush=True)
     sm_xw, sm_leg = metas["xw"], metas["leg"]
+    sm_xwd = metas["xwd"]
     offs = sm_xw[8]
     tot = int(offs[-1])
     E_SP = int(np.sum(np.asarray(spill_arrs["xw"]["sx_src"]) <
@@ -203,10 +206,19 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     xw_arr = {k: jnp.asarray(v) for k, v in spill_arrs["xw"].items()}
     leg_arr = {k: jnp.asarray(v) for k, v in spill_arrs["leg"].items()}
+    xwd_arr = {k: jnp.asarray(v) for k, v in spill_arrs["xwd"].items()}
+
+    xwd_full = chained(lambda x, aux: x * 0 + wp._spill_partial(
+        x.astype(jnp.bfloat16), None, aux, sm_xwd, msg_w, msg_b,
+        INTERP)[:N].astype(x.dtype))
+
     r = {}
     r["xw_full"] = diff("xw_full",
                         lambda: float(xw_full(h, xw_arr, k=1)),
                         lambda: float(xw_full(h, xw_arr, k=K)))
+    r["xwd_full"] = diff("xwd_full (dst-ordered buckets)",
+                         lambda: float(xwd_full(h, xwd_arr, k=1)),
+                         lambda: float(xwd_full(h, xwd_arr, k=K)))
     r["leg_full"] = diff("leg_full",
                          lambda: float(leg_full(h, (table, leg_arr), k=1)),
                          lambda: float(leg_full(h, (table, leg_arr), k=K)))
