@@ -212,7 +212,9 @@ def main():
                 da_pad.T, arrs_["c_stream"], arrs_["gt_tile_start"],
                 arrs_["gt_block_of_tile"], arrs_["gt_win_of_tile"],
                 arrs_["gt_c_off"], msg_w, hc, n_wins=n_wins,
-                window=block_rows, out_rows=W, t2=T2, interpret=INTERP)
+                window=block_rows, out_rows=W, t2=T2,
+                nbuf=int(os.environ.get("PROBE_NBUF", "6")),
+                interpret=INTERP)
             return da * 0 + dht.T.astype(jnp.float32) + 1e-30 * dWt[0, 0, 0]
         da = jax.lax.fori_loop(0, k, body, da)
         return jnp.sum(da)
