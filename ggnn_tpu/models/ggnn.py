@@ -199,6 +199,8 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
     n_rows = n_blocks * BLOCK_N
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
     chunks = meta[8] if len(meta) > 8 else None
+    span_rows = meta[9] if len(meta) > 9 else None
+    blk16 = arrs.get("blk_off16") if span_rows is not None else None
     if chunks is None:
         out = typed_step_gru(
             h_pack, arrs["dstl"], arrs["tile_start"], arrs["block_of_tile"],
@@ -206,7 +208,8 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
             msg_w.astype(cdt), bias, h_pad, w_a.astype(cdt),
             b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
             uh.astype(cdt), n_blocks=n_blocks, tile_e=tile_e,
-            align=edge_align, interpret=interpret)
+            align=edge_align, blk_off16=blk16, span_rows=span_rows,
+            interpret=interpret)
         return out[:N]
     # SMEM-capped chunked calls (scatter_pallas._chunk_blocks): each call
     # covers a disjoint dst-block range with its slice of the prefetch
@@ -223,7 +226,9 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
             h_pad[b0 * BLOCK_N:b1 * BLOCK_N], w_a.astype(cdt),
             b_all[None, :].astype(jnp.float32), u_zr.astype(cdt),
             uh.astype(cdt), n_blocks=b1 - b0, tile_e=tile_e,
-            align=edge_align, interpret=interpret))
+            align=edge_align,
+            blk_off16=None if blk16 is None else blk16[b0:b1],
+            span_rows=span_rows, interpret=interpret))
     return jnp.concatenate(outs, axis=0)[:N]
 
 

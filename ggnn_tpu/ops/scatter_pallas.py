@@ -214,6 +214,11 @@ def static_tile_budget(e_pad: int, n_rows_pad: int, tile_e: int) -> int:
 # (h_pack / dstl / count streams are passed whole to every chunk).
 SMEM_TILE_CAP = 40960
 
+# Span mode (round 7): per-block h DMA windows live in a 2-slot VMEM
+# ring — cap the largest block span so two slots stay ~8 MB at D=128
+# bf16; hub-heavy layouts past the cap keep per-tile DMAs.
+SPAN_ROW_CAP = 16384
+
 
 def _chunk_blocks(tile_start, cap: int = SMEM_TILE_CAP):
     """Split blocks [0, n_blocks) at block boundaries so each chunk holds
@@ -879,12 +884,15 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
         # the bias is Σ_t indeg_t(v)·b_t outside
         h_pack = h[arrs["gather_idx"]]
         chunks = meta[8] if len(meta) > 8 else None
+        span_rows = meta[9] if len(meta) > 9 else None
+        blk16 = arrs.get("blk_off16") if span_rows is not None else None
         if chunks is None:
             out = typed_onehot_scatter(
                 h_pack, arrs["dstl"], arrs["tile_start"],
                 arrs["block_of_tile"], arrs["tile_msg_off"], arrs["c_off"],
                 arrs["tile_type"], msg_w, n_blocks=n_blocks, tile_e=tile_e,
-                align=edge_align, interpret=interpret)
+                align=edge_align, blk_off16=blk16, span_rows=span_rows,
+                interpret=interpret)
         else:
             # SMEM-capped chunked calls (see _chunk_blocks): disjoint
             # dst-block ranges, global stream offsets
@@ -894,7 +902,10 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
                 outs.append(typed_onehot_scatter(
                     h_pack, arrs["dstl"], ts, bot, tmo, coff, tty, msg_w,
                     n_blocks=ch[1] - ch[0], tile_e=tile_e,
-                    align=edge_align, interpret=interpret))
+                    align=edge_align,
+                    blk_off16=(None if blk16 is None
+                               else blk16[ch[0]:ch[1]]),
+                    span_rows=span_rows, interpret=interpret))
             out = jnp.concatenate(outs, axis=0)
         bias = jnp.einsum("tn,td->nd", arrs["indeg"],
                           msg_b.astype(jnp.float32),
@@ -1105,6 +1116,22 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
     gbase = np.zeros(n_groups + 1, np.int64)
     np.cumsum(-(-gcnt // A) * A, out=gbase[1:])
     e_pack = int(gbase[-1]) + tile_e      # margin: last tile may overrun
+    # SPAN mode (round 7): the pack is block-contiguous, so the kernel
+    # can DMA each dst block's whole span once (2-slot ring) and slice
+    # tiles from VMEM at provably-16-aligned dynamic offsets — replacing
+    # ~blocks·T2 per-tile h DMAs (the measured ~330 ns/tile fixed cost
+    # × the 32K-tile floor, docs/DESIGN.md "tile-count floor") with
+    # ~blocks span DMAs.  Disabled for hub-heavy layouts whose largest
+    # block span exceeds the VMEM cap (falls back to per-tile DMAs).
+    blk_start = gbase[np.arange(n_blocks) * T2]
+    blk_end = gbase[np.arange(1, n_blocks + 1) * T2]
+    span_rows = int((blk_end - blk_start).max(initial=0)) + tile_e
+    span_rows = -(-span_rows // 16) * 16
+    span_mode = (A == 16) and span_rows <= SPAN_ROW_CAP
+    if span_mode:
+        # every block's [start, start + span_rows) DMA window must stay
+        # inside the pack
+        e_pack = max(e_pack, int(blk_start.max(initial=0)) + span_rows)
     # tiles: ceil(count/tile_e) per non-empty group; +1 dummy per empty block
     gtiles = -(-gcnt // tile_e)
     btiles = gtiles.reshape(n_blocks, T2).sum(1)
@@ -1160,6 +1187,12 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                   np.bincount(typ * np.int64(n_nodes_pad) + dst,
                               minlength=T2 * n_nodes_pad)
                   .reshape(T2, n_nodes_pad).astype(np.float32))}
+    if span_mode:
+        # stored PRE-DIVIDED by 16: the kernel rescales (off16 * 16) so
+        # Mosaic can statically prove sublane alignment of the dynamic
+        # VMEM slice (a raw data-dependent index fails to compile)
+        arrays["blk_off16"] = jnp.asarray(
+            (blk_start // 16).astype(np.int32))
     grad_meta = None
     if with_grad:
         # transposed grouping by block-major table row for the backward's
@@ -1196,43 +1229,64 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                      _chunk_blocks(g.tile_start, smem_tile_cap))
     meta = (n_nodes_pad, tile_e, 0, n_blocks, True, grad_meta,
             edge_align, "typed",
-            _chunk_blocks(tile_start, smem_tile_cap))
+            _chunk_blocks(tile_start, smem_tile_cap),
+            span_rows if span_mode else None)
     return DeviceScatterLayout(meta=meta, arrays=arrays)
 
 
 def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
-                         c_off_ref, type_ref, h_hbm, dstl_hbm, w_hbm,
-                         out_hbm, acc, h_buf, o_buf, w_buf, h_sem, o_sem,
-                         w_sem, out_sem, *, tile_e, align, nbuf, n_blocks):
+                         c_off_ref, type_ref, *rest, tile_e, align, nbuf,
+                         n_blocks, span_rows=None):
     """Mono DMA-ring one-hot scatter with an in-tile TYPE transform:
-    acc += (onehot @ H_tile) · W[type(tile)].  Single program; per-tile
-    H rows DMA'd at align-unit offsets (tiles may overlap groups — the
-    overlapped positions carry dstl −1 and match no output row).  The
+    acc += (onehot @ H_tile) · W[type(tile)].  Single program.  The
     one-hot is SYNTHESIZED on the VPU from the tile's dst-local row
     (iota == dstl) — 4·tile_e side-stream bytes/tile instead of the
     128·tile_e int8 matrix; the row is DMA'd as the 8-row-aligned slice
-    containing it (Mosaic i32 sublane rule)."""
+    containing it (Mosaic i32 sublane rule).
+
+    Two h-delivery modes:
+    - per-tile (``span_rows=None``): H rows DMA'd per tile at align-unit
+      offsets (tiles may overlap groups — overlapped positions carry
+      dstl −1 and match no output row);
+    - SPAN (round 7): one DMA per dst BLOCK brings its whole contiguous
+      pack span into a 2-slot ring; tiles slice it in VMEM at dynamic
+      offsets rescaled from pre-divided values (``(off−blk_off16)·16``)
+      so Mosaic can prove sublane alignment.  Removes the per-tile DMA
+      machinery that dominated the 32K-tile floor (~330 ns/tile
+      measured — docs/DESIGN.md "tile-count floor")."""
+    span = span_rows is not None
+    if span:
+        blk_ref = rest[0]
+        rest = rest[1:]
+    (h_hbm, dstl_hbm, w_hbm, out_hbm, acc, h_buf, o_buf, w_buf, h_sem,
+     o_sem, w_sem, out_sem) = rest
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_blocks]
     wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
     wcp.start()
     wcp.wait()
 
-    def in_dma(slot, t):
-        m = pltpu.make_async_copy(
-            h_hbm.at[pl.ds(off_ref[t] * align, tile_e), :],
-            h_buf.at[slot], h_sem.at[slot])
-        o = pltpu.make_async_copy(
+    def span_dma(par, b):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(blk_ref[b] * 16, span_rows), :],
+            h_buf.at[par], h_sem.at[par])
+
+    def o_dma(slot, t):
+        return pltpu.make_async_copy(
             dstl_hbm.at[pl.ds(8 * (c_off_ref[t] // 8), 8), :],
             o_buf.at[slot], o_sem.at[slot])
-        return m, o
+
+    def h_dma(slot, t):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(off_ref[t] * align, tile_e), :],
+            h_buf.at[slot], h_sem.at[slot])
 
     def start_in(slot, t):
         @pl.when(off_ref[t] >= 0)
         def _():
-            m, o = in_dma(slot, t)
-            m.start()
-            o.start()
+            if not span:
+                h_dma(slot, t).start()
+            o_dma(slot, t).start()
 
     def prolog(k, _):
         @pl.when(t0 + k < t1)
@@ -1241,6 +1295,10 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
         return 0
 
     jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+    if span:
+        span_dma(0, 0).start()
+        if n_blocks > 1:
+            span_dma(1, 1).start()
 
     def out_dma(par, blk):
         return pltpu.make_async_copy(
@@ -1259,15 +1317,20 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
         def _():
             out_dma(par, blk - 2).wait()
 
+        if span:
+            @pl.when(first)
+            def _():
+                span_dma(par, blk).wait()
+
         @pl.when(jnp.logical_and(first, jnp.logical_not(real)))
         def _():
             acc[par] = jnp.zeros_like(acc[par])
 
         @pl.when(real)
         def _():
-            m, o = in_dma(slot, t)
-            m.wait()
-            o.wait()
+            if not span:
+                h_dma(slot, t).wait()
+            o_dma(slot, t).wait()
             # select the tile's dstl row from the 8-row slice, then
             # synthesize the one-hot as (row iota == dstl); −1 (padding /
             # group overlap) matches nothing
@@ -1277,8 +1340,12 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
                           keepdims=True)
             oh = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, tile_e), 0)
                   == row).astype(h_buf.dtype)
-            p0 = jnp.dot(oh, h_buf[slot],
-                         preferred_element_type=jnp.float32)
+            if span:
+                seg = h_buf[par, pl.ds((off_ref[t] - blk_ref[blk]) * 16,
+                                       tile_e), :]
+            else:
+                seg = h_buf[slot]
+            p0 = jnp.dot(oh, seg, preferred_element_type=jnp.float32)
             prod = jnp.dot(p0.astype(w_buf.dtype), w_buf[type_ref[t]],
                            preferred_element_type=jnp.float32)
 
@@ -1297,6 +1364,13 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
         @pl.when(last)
         def _():
             out_dma(par, blk).start()
+            if span:
+                # h_buf[par] is free only now (this block's reads done) —
+                # start the NEXT same-parity block's span here, one full
+                # block of compute ahead of its first use
+                @pl.when(blk + 2 < n_blocks)
+                def _():
+                    span_dma(par, blk + 2).start()
 
         return 0
 
@@ -1307,11 +1381,8 @@ def _typed_onehot_kernel(block_of_tile_ref, off_ref, tile_start_ref,
 
 
 def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
-                       c_off_ref, type_ref, h_hbm, dstl_hbm, w_hbm,
-                       init_hbm, hst_hbm, wa_ref, b_ref, uzr_ref, uh_ref,
-                       out_hbm, acc, h_buf, o_buf, w_buf, init_buf,
-                       hst_buf, h_sem, o_sem, w_sem, init_sem, hst_sem,
-                       out_sem, *, tile_e, align, nbuf, n_blocks):
+                       c_off_ref, type_ref, *rest, tile_e, align, nbuf,
+                       n_blocks, span_rows=None):
     """:func:`_typed_onehot_kernel` + a GRU epilogue (the window step
     kernel's structure on the typed pack): per dst block the accumulator
     initializes from ``init_hbm`` (the Σ_t indeg_t·b_t bias — complete
@@ -1321,6 +1392,13 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
     the serving path.  Forward-only: the training path recomputes the
     unfused composition inside the custom VJP's fwd rule
     (models/ggnn.py)."""
+    span = span_rows is not None
+    if span:
+        blk_ref = rest[0]
+        rest = rest[1:]
+    (h_hbm, dstl_hbm, w_hbm, init_hbm, hst_hbm, wa_ref, b_ref, uzr_ref,
+     uh_ref, out_hbm, acc, h_buf, o_buf, w_buf, init_buf, hst_buf, h_sem,
+     o_sem, w_sem, init_sem, hst_sem, out_sem) = rest
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_blocks]
     D = out_hbm.shape[-1]
@@ -1328,21 +1406,27 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
     wcp.start()
     wcp.wait()
 
-    def in_dma(slot, t):
-        m = pltpu.make_async_copy(
-            h_hbm.at[pl.ds(off_ref[t] * align, tile_e), :],
-            h_buf.at[slot], h_sem.at[slot])
-        o = pltpu.make_async_copy(
+    def span_dma(par, b):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(blk_ref[b] * 16, span_rows), :],
+            h_buf.at[par], h_sem.at[par])
+
+    def o_dma(slot, t):
+        return pltpu.make_async_copy(
             dstl_hbm.at[pl.ds(8 * (c_off_ref[t] // 8), 8), :],
             o_buf.at[slot], o_sem.at[slot])
-        return m, o
+
+    def h_dma(slot, t):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(off_ref[t] * align, tile_e), :],
+            h_buf.at[slot], h_sem.at[slot])
 
     def start_in(slot, t):
         @pl.when(off_ref[t] >= 0)
         def _():
-            m, o = in_dma(slot, t)
-            m.start()
-            o.start()
+            if not span:
+                h_dma(slot, t).start()
+            o_dma(slot, t).start()
 
     def st_dma(par, blk):
         return [pltpu.make_async_copy(
@@ -1364,6 +1448,10 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
         return 0
 
     jax.lax.fori_loop(0, nbuf, prolog, 0, unroll=True)
+    if span:
+        span_dma(0, 0).start()
+        if n_blocks > 1:
+            span_dma(1, 1).start()
     for d in st_dma(0, 0):
         d.start()
     if n_blocks >= 2:
@@ -1388,19 +1476,28 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
                 d.wait()
             acc[par] = init_buf[par]
 
+        if span:
+            @pl.when(first)
+            def _():
+                span_dma(par, blk).wait()
+
         @pl.when(real)
         def _():
-            m, o = in_dma(slot, t)
-            m.wait()
-            o.wait()
+            if not span:
+                h_dma(slot, t).wait()
+            o_dma(slot, t).wait()
             r = c_off_ref[t] % 8
             sel = jax.lax.broadcasted_iota(jnp.int32, (8, tile_e), 0) == r
             row = jnp.sum(jnp.where(sel, o_buf[slot], 0), axis=0,
                           keepdims=True)
             oh = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, tile_e), 0)
                   == row).astype(h_buf.dtype)
-            p0 = jnp.dot(oh, h_buf[slot],
-                         preferred_element_type=jnp.float32)
+            if span:
+                seg = h_buf[par, pl.ds((off_ref[t] - blk_ref[blk]) * 16,
+                                       tile_e), :]
+            else:
+                seg = h_buf[slot]
+            p0 = jnp.dot(oh, seg, preferred_element_type=jnp.float32)
             acc[par] = acc[par] + jnp.dot(
                 p0.astype(w_buf.dtype), w_buf[type_ref[t]],
                 preferred_element_type=jnp.float32)
@@ -1425,6 +1522,12 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
                                       preferred_element_type=jnp.float32))
             acc[par] = (1.0 - z) * hblk + z * htil
             out_dma(par, blk).start()
+            if span:
+                # h_buf[par] frees only now — start the next same-parity
+                # block's span with one block of compute as lead time
+                @pl.when(blk + 2 < n_blocks)
+                def _():
+                    span_dma(par, blk + 2).start()
 
             @pl.when(blk + 2 < n_blocks)
             def _():
@@ -1441,18 +1544,20 @@ def _typed_step_kernel(block_of_tile_ref, off_ref, tile_start_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "tile_e", "align", "nbuf",
-                                    "interpret"))
+                                    "span_rows", "interpret"))
 def typed_step_gru(h_pack, dstl, tile_start, block_of_tile,
                    tile_msg_off, c_off, tile_type, msg_w, init, hstate,
                    wa, b3, uzr, uh, n_blocks: int, tile_e: int, align: int,
-                   nbuf: int = 6, interpret: bool = False):
+                   nbuf: int = 6, blk_off16=None,
+                   span_rows: int | None = None, interpret: bool = False):
     """Fused typed-pack aggregation + GRU step (see
     :func:`_typed_step_kernel`).  ``init`` [n_rows, D] f32 is the bias
     partial (Σ_t indeg_t·b_t); ``hstate`` [n_rows, D] f32 the padded
     node state; GRU weights in the compute dtype.  Returns h_new f32."""
     D = h_pack.shape[-1]
+    span = span_rows is not None and blk_off16 is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6 if span else 5,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -1466,12 +1571,13 @@ def typed_step_gru(h_pack, dstl, tile_start, block_of_tile,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
-            pltpu.VMEM((nbuf, tile_e, D), h_pack.dtype),
+            pltpu.VMEM((2, span_rows, D) if span
+                       else (nbuf, tile_e, D), h_pack.dtype),
             pltpu.VMEM((nbuf, 8, tile_e), jnp.int32),
             pltpu.VMEM(msg_w.shape, msg_w.dtype),
             pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
             pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,) if span else (nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
@@ -1480,7 +1586,8 @@ def typed_step_gru(h_pack, dstl, tile_start, block_of_tile,
         ],
     )
     kernel = functools.partial(_typed_step_kernel, tile_e=tile_e,
-                               align=align, nbuf=nbuf, n_blocks=n_blocks)
+                               align=align, nbuf=nbuf, n_blocks=n_blocks,
+                               span_rows=span_rows if span else None)
     n_tiles = block_of_tile.shape[0]
     return pl.pallas_call(
         kernel,
@@ -1498,23 +1605,29 @@ def typed_step_gru(h_pack, dstl, tile_start, block_of_tile,
             transcendentals=3 * n_blocks * BLOCK_N * D,
         ),
     )(block_of_tile, tile_msg_off, tile_start, c_off, tile_type,
+      *([blk_off16] if span else []),
       h_pack, dstl, msg_w, init, hstate, wa, b3, uzr, uh)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "tile_e", "align", "nbuf",
-                                    "interpret"))
+                                    "span_rows", "interpret"))
 def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
                          tile_msg_off, c_off, tile_type, msg_w,
                          n_blocks: int, tile_e: int, align: int,
-                         nbuf: int = 6, interpret: bool = False):
+                         nbuf: int = 6, blk_off16=None,
+                         span_rows: int | None = None,
+                         interpret: bool = False):
     """out[b·128:(b+1)·128] = Σ_tiles(b) (onehot_tile @ H_tile) · W[t_tile].
     ``h_pack`` [E_pack, D] = gathered h rows (packed per (block, type) at
     align-row offsets); ``dstl`` [n_real_tiles_pad8, tile_e] i32 dst-local
-    rows (−1 = no edge) from which the kernel synthesizes each one-hot."""
+    rows (−1 = no edge) from which the kernel synthesizes each one-hot.
+    With ``span_rows``/``blk_off16`` the kernel runs in SPAN mode: one h
+    DMA per dst block instead of per tile (see _typed_onehot_kernel)."""
     D = h_pack.shape[-1]
+    span = span_rows is not None and blk_off16 is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6 if span else 5,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -1522,17 +1635,22 @@ def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
-            pltpu.VMEM((nbuf, tile_e, D), h_pack.dtype),
+            pltpu.VMEM((2, span_rows, D) if span
+                       else (nbuf, tile_e, D), h_pack.dtype),
             pltpu.VMEM((nbuf, 8, tile_e), jnp.int32),
             pltpu.VMEM(msg_w.shape, msg_w.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,) if span else (nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_typed_onehot_kernel, tile_e=tile_e,
-                               align=align, nbuf=nbuf, n_blocks=n_blocks)
+                               align=align, nbuf=nbuf, n_blocks=n_blocks,
+                               span_rows=span_rows if span else None)
+    args = [block_of_tile, tile_msg_off, tile_start, c_off, tile_type]
+    if span:
+        args.append(blk_off16)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1546,5 +1664,4 @@ def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
             + n_blocks * BLOCK_N * D * 4,
             transcendentals=0,
         ),
-    )(block_of_tile, tile_msg_off, tile_start, c_off, tile_type,
-      h_pack, dstl, msg_w)
+    )(*args, h_pack, dstl, msg_w)

@@ -96,6 +96,8 @@ def main():
                 arrs_["block_of_tile"], arrs_["tile_msg_off"],
                 arrs_["c_off"], arrs_["tile_type"], msg_w,
                 n_blocks=n_blocks, tile_e=tile_e, align=edge_align,
+                blk_off16=arrs_.get("blk_off16"),
+                span_rows=(meta[9] if len(meta) > 9 else None),
                 interpret=INTERP)
             return acc + out[:8].astype(jnp.float32)
         acc = jax.lax.fori_loop(0, k, body, jnp.zeros((8, D), jnp.float32))
