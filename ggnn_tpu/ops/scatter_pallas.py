@@ -1083,7 +1083,8 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                            tile_e: int | None = None, edge_align: int = 16,
                            with_grad: bool = False,
                            grad_tile_e: int | None = None,
-                           smem_tile_cap: int = SMEM_TILE_CAP):
+                           smem_tile_cap: int = SMEM_TILE_CAP,
+                           span_mode: bool = False):
     """Host-side layout for the typed-pack path: edges sorted by
     (dst block, type, src), per-(block, type) groups packed at
     ``edge_align``-row alignment, tiles split at group boundaries so each
@@ -1123,11 +1124,16 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
     # × the 32K-tile floor, docs/DESIGN.md "tile-count floor") with
     # ~blocks span DMAs.  Disabled for hub-heavy layouts whose largest
     # block span exceeds the VMEM cap (falls back to per-tile DMAs).
+    # OPT-IN (round-7 A/B: +6% on the 262K fused forward but −37% on
+    # the 1M chunked train — the per-block span over-read and the
+    # 2-slot ring lose to the 6-slot per-tile ring at many-small-block
+    # scales); the round-8 static-type-loop kernel is the real
+    # consumer of this machinery
     blk_start = gbase[np.arange(n_blocks) * T2]
     blk_end = gbase[np.arange(1, n_blocks + 1) * T2]
     span_rows = int((blk_end - blk_start).max(initial=0)) + tile_e
     span_rows = -(-span_rows // 16) * 16
-    span_mode = (A == 16) and span_rows <= SPAN_ROW_CAP
+    span_mode = span_mode and (A == 16) and span_rows <= SPAN_ROW_CAP
     if span_mode:
         # every block's [start, start + span_rows) DMA window must stay
         # inside the pack

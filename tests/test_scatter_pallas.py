@@ -365,3 +365,26 @@ def test_typed_fused_step_parity_and_grads(rng):
     for a_, b_ in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_typed_span_mode_parity():
+    """SPAN mode (opt-in, round 7): per-block h DMA + provable dynamic
+    VMEM slices must be bit-identical to the per-tile-DMA default."""
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    r = np.random.default_rng(3)
+    N, E, T2, D = 640, 9000, 5, 128
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = r.integers(0, N, E).astype(np.int32)
+    typ = r.integers(0, T2, E).astype(np.int32)
+    mask = (r.random(E) < 0.9).astype(np.float32)
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2)
+    lay_s = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   span_mode=True)
+    assert lay.meta[9] is None and lay_s.meta[9] is not None
+    ref = aggregate_onehot(h, lay, w, b, interpret=True)
+    got = aggregate_onehot(h, lay_s, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
