@@ -1084,7 +1084,7 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                            with_grad: bool = False,
                            grad_tile_e: int | None = None,
                            smem_tile_cap: int = SMEM_TILE_CAP,
-                           span_mode: bool = False):
+                           span_mode="auto"):
     """Host-side layout for the typed-pack path: edges sorted by
     (dst block, type, src), per-(block, type) groups packed at
     ``edge_align``-row alignment, tiles split at group boundaries so each
@@ -1124,16 +1124,19 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
     # × the 32K-tile floor, docs/DESIGN.md "tile-count floor") with
     # ~blocks span DMAs.  Disabled for hub-heavy layouts whose largest
     # block span exceeds the VMEM cap (falls back to per-tile DMAs).
-    # OPT-IN (round-7 A/B: +6% on the 262K fused forward but −37% on
-    # the 1M chunked train — the per-block span over-read and the
-    # 2-slot ring lose to the 6-slot per-tile ring at many-small-block
-    # scales); the round-8 static-type-loop kernel is the real
-    # consumer of this machinery
+    # Round-7 A/B: span mode measured +6% on the 262K fused forward
+    # (278.5/278.9M, both uniform threshold cases green) but −37% on
+    # the 1M SMEM-CHUNKED train (108.7 → 68.8M, ledger) — the
+    # per-block span over-read and 2-slot ring lose at many-small-
+    # block chunked scales.  'auto' (default) therefore enables span
+    # exactly where it was certified: un-chunked layouts only.
     blk_start = gbase[np.arange(n_blocks) * T2]
     blk_end = gbase[np.arange(1, n_blocks + 1) * T2]
     span_rows = int((blk_end - blk_start).max(initial=0)) + tile_e
     span_rows = -(-span_rows // 16) * 16
-    span_mode = span_mode and (A == 16) and span_rows <= SPAN_ROW_CAP
+    span_auto = span_mode == "auto"
+    span_mode = ((True if span_auto else bool(span_mode))
+                 and (A == 16) and span_rows <= SPAN_ROW_CAP)
     if span_mode:
         # every block's [start, start + span_rows) DMA window must stay
         # inside the pack
@@ -1233,9 +1236,13 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
         grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
                      g.onehot is not None, g.edge_align,
                      _chunk_blocks(g.tile_start, smem_tile_cap))
+    chunks = _chunk_blocks(tile_start, smem_tile_cap)
+    if span_mode and span_auto and chunks is not None:
+        # auto: certified-bad combination (chunked + span, −37% at 1M)
+        span_mode = False
+        arrays.pop("blk_off16", None)
     meta = (n_nodes_pad, tile_e, 0, n_blocks, True, grad_meta,
-            edge_align, "typed",
-            _chunk_blocks(tile_start, smem_tile_cap),
+            edge_align, "typed", chunks,
             span_rows if span_mode else None)
     return DeviceScatterLayout(meta=meta, arrays=arrays)
 

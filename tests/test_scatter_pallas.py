@@ -381,10 +381,19 @@ def test_typed_span_mode_parity():
     w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
     b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
     h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
-    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2)
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                 span_mode=False)
     lay_s = build_typed_dst_layout(src, dst, typ, mask, N, T2,
                                    span_mode=True)
     assert lay.meta[9] is None and lay_s.meta[9] is not None
+    # 'auto' (default) enables span for un-chunked layouts, drops it
+    # for chunked ones (the certified-bad combination)
+    lay_a = build_typed_dst_layout(src, dst, typ, mask, N, T2)
+    assert lay_a.meta[9] is not None
+    lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   smem_tile_cap=5)
+    assert lay_c.meta[8] is not None and lay_c.meta[9] is None
+    assert "blk_off16" not in lay_c.arrays
     ref = aggregate_onehot(h, lay, w, b, interpret=True)
     got = aggregate_onehot(h, lay_s, w, b, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
