@@ -200,7 +200,21 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
     h_pad = jnp.pad(h.astype(jnp.float32), ((0, n_rows - N), (0, 0)))
     chunks = meta[8] if len(meta) > 8 else None
     span_rows = meta[9] if len(meta) > 9 else None
+    bmeta = meta[10] if len(meta) > 10 else None
     blk16 = arrs.get("blk_off16") if span_rows is not None else None
+    if bmeta is not None:
+        # per-block kernel (round 8): static (type, chunk) inner loop —
+        # see scatter_pallas._typed_block_kernel
+        from ggnn_tpu.ops.scatter_pallas import typed_block_step_gru
+        S8, cmax, b_span = bmeta
+        out = typed_block_step_gru(
+            h_pack, arrs["dstl_blk"], arrs["slot_off16"],
+            arrs["blk_off16"], msg_w.astype(cdt), bias, h_pad,
+            w_a.astype(cdt), b_all[None, :].astype(jnp.float32),
+            u_zr.astype(cdt), uh.astype(cdt), n_blocks=n_blocks,
+            tile_e=tile_e, S8=S8, cmax=cmax, span_rows=b_span,
+            interpret=interpret)
+        return out[:N]
     if chunks is None:
         out = typed_step_gru(
             h_pack, arrs["dstl"], arrs["tile_start"], arrs["block_of_tile"],

@@ -219,6 +219,18 @@ SMEM_TILE_CAP = 40960
 # bf16; hub-heavy layouts past the cap keep per-tile DMAs.
 SPAN_ROW_CAP = 16384
 
+# ADVICE r4: the span/block VMEM ring is (2, span_rows, D) in h_pack's
+# dtype — cap it by BYTES at call time (D/dtype are unknown at layout
+# build).  ~10 MB leaves room for acc/init/hst/o_buf/w_buf under the
+# 16 MB scoped-VMEM limit; over-budget calls drop to per-tile DMAs.
+SPAN_VMEM_BYTES = 10 * 1024 * 1024
+
+# Block mode (round 8): per-BLOCK kernel with a python-static (type,
+# chunk) inner loop — the per-slot offset array is scalar-prefetched
+# into SMEM, so bound its length (i32 entries; ~640 KB of the 1 MB SMEM
+# budget, leaving room for blk_off16 and the runtime's own use).
+BLOCK_SLOT_CAP = 160 * 1024
+
 
 def _chunk_blocks(tile_start, cap: int = SMEM_TILE_CAP):
     """Split blocks [0, n_blocks) at block boundaries so each chunk holds
@@ -885,8 +897,17 @@ def _aggregate_impl(meta, interpret, arrs, h, msg_w, msg_b):
         h_pack = h[arrs["gather_idx"]]
         chunks = meta[8] if len(meta) > 8 else None
         span_rows = meta[9] if len(meta) > 9 else None
+        bmeta = meta[10] if len(meta) > 10 else None
         blk16 = arrs.get("blk_off16") if span_rows is not None else None
-        if chunks is None:
+        if bmeta is not None:
+            # per-block kernel (round 8): static (type, chunk) inner loop
+            S8, cmax, b_span = bmeta
+            out = typed_block_scatter(
+                h_pack, arrs["dstl_blk"], arrs["slot_off16"],
+                arrs["blk_off16"], msg_w, n_blocks=n_blocks,
+                tile_e=tile_e, S8=S8, cmax=cmax, span_rows=b_span,
+                interpret=interpret)
+        elif chunks is None:
             out = typed_onehot_scatter(
                 h_pack, arrs["dstl"], arrs["tile_start"],
                 arrs["block_of_tile"], arrs["tile_msg_off"], arrs["c_off"],
@@ -1084,12 +1105,27 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
                            with_grad: bool = False,
                            grad_tile_e: int | None = None,
                            smem_tile_cap: int = SMEM_TILE_CAP,
-                           span_mode="auto"):
+                           span_mode="auto", block_mode="auto"):
     """Host-side layout for the typed-pack path: edges sorted by
     (dst block, type, src), per-(block, type) groups packed at
     ``edge_align``-row alignment, tiles split at group boundaries so each
     tile is single-type.  ``gather_idx`` indexes h ROWS (not table rows).
-    Returns a :class:`DeviceScatterLayout` with ``row_order='typed'``."""
+    Returns a :class:`DeviceScatterLayout` with ``row_order='typed'``.
+
+    ``block_mode`` (round 8, default 'auto'): per-BLOCK kernel layout —
+    each dst block gets ``S8 = rup(T2·cmax, 8)`` slots (cmax = max
+    tile_e-chunks of any (block, type) group), slot (t, c) carrying a
+    pre-divided pack offset in a scalar-prefetched [B·S8] array and its
+    dst-local rows at row b·S8 + t·cmax + c of a block-contiguous
+    [B·S8, tile_e] i32 stream.  The kernel (:func:`typed_block_scatter`)
+    then runs a PYTHON-STATIC (type, chunk) inner loop per block — one h
+    span DMA + one dstl DMA per block instead of per tile, one SMEM read
+    and one branch per slot, and a STATIC w_buf[t] index — eliminating
+    the ~330 ns/tile per-tile scalar machinery that floored the typed
+    scatter at 32K tiles (docs/DESIGN.md "tile-count floor"; the dynslice
+    prototype ran the same work at 112 ns/chunk vs 420 production).
+    'auto' engages when the slot waste is bounded (hub-free graphs);
+    hub-heavy/power-law layouts keep the per-tile kernel."""
     T2 = n_message_types
     if n_nodes_pad % BLOCK_N:
         raise ValueError(f"n_nodes_pad must be a multiple of {BLOCK_N}")
@@ -1134,69 +1170,111 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
     blk_end = gbase[np.arange(1, n_blocks + 1) * T2]
     span_rows = int((blk_end - blk_start).max(initial=0)) + tile_e
     span_rows = -(-span_rows // 16) * 16
+    # tiles: ceil(count/tile_e) per non-empty group
+    gtiles = -(-gcnt // tile_e)
+    n_real = int(gtiles.sum())
+    # block mode (round 8): per-block kernel with a static (type, chunk)
+    # inner loop — supersedes span mode when it engages.  'auto' engages
+    # only when the T2·cmax slot grid doesn't balloon vs the real tile
+    # count (cmax = max chunks of any group: a hub group forces every
+    # block to carry that many slots) and the slot array fits SMEM.
+    cmax = max(int(gtiles.max(initial=0)), 1)
+    S8 = _rup(T2 * cmax, 8)
+    n_slots = n_blocks * S8
+    block_ok = ((block_mode is not False) and A == 16
+                and span_rows <= SPAN_ROW_CAP)
+    if block_ok and block_mode == "auto":
+        block_ok = (cmax <= 8 and n_slots <= BLOCK_SLOT_CAP
+                    and n_slots <= 3 * max(n_real, 1) + 8 * n_blocks)
+    if block_mode is True and not block_ok:
+        import warnings
+        warnings.warn(
+            "block_mode=True cannot be honored (needs edge_align=16 and "
+            f"max block span {span_rows} <= {SPAN_ROW_CAP}); falling back "
+            "to the per-tile kernel", stacklevel=2)
     span_auto = span_mode == "auto"
     span_mode = ((True if span_auto else bool(span_mode))
-                 and (A == 16) and span_rows <= SPAN_ROW_CAP)
-    if span_mode:
+                 and (A == 16) and span_rows <= SPAN_ROW_CAP
+                 and not block_ok)
+    if span_mode or block_ok:
         # every block's [start, start + span_rows) DMA window must stay
         # inside the pack
         e_pack = max(e_pack, int(blk_start.max(initial=0)) + span_rows)
-    # tiles: ceil(count/tile_e) per non-empty group; +1 dummy per empty block
-    gtiles = -(-gcnt // tile_e)
-    btiles = gtiles.reshape(n_blocks, T2).sum(1)
-    need_dummy = btiles == 0
     grp_idx = np.nonzero(gtiles)[0]
     reps = gtiles[grp_idx]
-    n_real = int(reps.sum())
     t_gid = np.repeat(grp_idx, reps)
     t_k = np.arange(n_real) - np.repeat(np.cumsum(reps) - reps, reps)
-    t_block = (t_gid // T2).astype(np.int32)
-    t_type = (t_gid % T2).astype(np.int32)
-    t_off = ((gbase[t_gid] + t_k * tile_e) // A).astype(np.int32)
-    db = np.nonzero(need_dummy)[0].astype(np.int32)
-    all_block = np.concatenate([t_block, db])
-    all_type = np.concatenate([t_type, np.zeros(db.size, np.int32)])
-    all_off = np.concatenate([t_off, np.full(db.size, -1, np.int32)])
-    o2 = np.argsort(all_block, kind="stable")
-    block_of_tile = all_block[o2]
-    tile_type = all_type[o2]
-    tile_msg_off = all_off[o2]            # -1 marks a dummy tile
-    c_off = np.where(o2 < n_real, o2, 0).astype(np.int32)
-    n_tiles = block_of_tile.shape[0]
-    tile_start = np.zeros(n_blocks + 1, np.int32)
-    np.cumsum(np.bincount(block_of_tile, minlength=n_blocks),
-              out=tile_start[1:])
-    # packed edge positions + one-hot stream (compact, real tiles only)
+    # packed edge positions (shared by both kernel families)
     first_of_g = np.zeros(n_groups, np.int64)
     first_of_g[1:] = np.cumsum(gcnt)[:-1]
     rank = np.arange(src.shape[0]) - first_of_g[gid]
     pos = gbase[gid] + rank
     gather_idx = np.zeros(e_pack, np.int32)
     gather_idx[pos] = src.astype(np.int32)
-    # real-tile index of each edge: group's first real tile + rank//tile_e
-    gt_first = np.zeros(n_groups, np.int64)
-    gt_first[grp_idx] = np.cumsum(reps) - reps
-    tile_of_edge = gt_first[gid] + rank // tile_e
-    # compact dst-local stream [n_real_tiles, tile_e] i32 (−1 = no edge):
-    # the kernel synthesizes each tile's one-hot as (iota == dstl row) on
-    # the VPU — 4·tile_e bytes/tile instead of the 128·tile_e int8 one-hot
-    # matrix (32× less DMA on the side stream; the compare+select costs
-    # about the same as the int8→bf16 convert it replaces).  Rows are
-    # DMA'd as 8-row-aligned slices (Mosaic sublane rule for i32).
-    dstl = np.full((_rup(max(n_real, 1), 8), tile_e), -1, np.int32)
-    dstl[tile_of_edge, rank % tile_e] = dst - block * BLOCK_N
     arrays = {"gather_idx": jnp.asarray(gather_idx),
-              "dstl": jnp.asarray(dstl),
-              "tile_start": jnp.asarray(tile_start),
-              "block_of_tile": jnp.asarray(block_of_tile),
-              "tile_msg_off": jnp.asarray(tile_msg_off),
-              "c_off": jnp.asarray(c_off),
-              "tile_type": jnp.asarray(tile_type),
               "indeg": jnp.asarray(
                   np.bincount(typ * np.int64(n_nodes_pad) + dst,
                               minlength=T2 * n_nodes_pad)
                   .reshape(T2, n_nodes_pad).astype(np.float32))}
-    if span_mode:
+    chunks = None
+    if block_ok:
+        # per-slot pack offsets, PRE-DIVIDED by 16 (the kernel rescales
+        # off16·16 so Mosaic can prove the dynamic VMEM slice 16-aligned)
+        # and RELATIVE to the block's span start; -1 = no chunk.  Slot
+        # (b, t, c) lives at b·S8 + t·cmax + c.
+        slot_off16 = np.full(n_slots, -1, np.int32)
+        slot_idx = ((t_gid // T2) * S8 + (t_gid % T2) * cmax + t_k)
+        slot_off16[slot_idx] = ((gbase[t_gid] + t_k * tile_e
+                                 - blk_start[t_gid // T2]) // 16)
+        # block-contiguous dstl stream: block b's slots at rows
+        # [b·S8, (b+1)·S8) — ONE 8-aligned DMA per block, and each
+        # slot's row is a STATIC VMEM index inside the kernel
+        dstl_blk = np.full((n_slots, tile_e), -1, np.int32)
+        e_slot = block * np.int64(S8) + typ * cmax + rank // tile_e
+        dstl_blk[e_slot, rank % tile_e] = dst - block * BLOCK_N
+        arrays["slot_off16"] = jnp.asarray(slot_off16)
+        arrays["dstl_blk"] = jnp.asarray(dstl_blk)
+    else:
+        # per-tile enumeration (+1 dummy tile per empty block so the
+        # flat kernel zero-inits every output block)
+        btiles = gtiles.reshape(n_blocks, T2).sum(1)
+        need_dummy = btiles == 0
+        t_block = (t_gid // T2).astype(np.int32)
+        t_type = (t_gid % T2).astype(np.int32)
+        t_off = ((gbase[t_gid] + t_k * tile_e) // A).astype(np.int32)
+        db = np.nonzero(need_dummy)[0].astype(np.int32)
+        all_block = np.concatenate([t_block, db])
+        all_type = np.concatenate([t_type, np.zeros(db.size, np.int32)])
+        all_off = np.concatenate([t_off, np.full(db.size, -1, np.int32)])
+        o2 = np.argsort(all_block, kind="stable")
+        block_of_tile = all_block[o2]
+        tile_type = all_type[o2]
+        tile_msg_off = all_off[o2]            # -1 marks a dummy tile
+        c_off = np.where(o2 < n_real, o2, 0).astype(np.int32)
+        tile_start = np.zeros(n_blocks + 1, np.int32)
+        np.cumsum(np.bincount(block_of_tile, minlength=n_blocks),
+                  out=tile_start[1:])
+        # real-tile index of each edge: group's first tile + rank//tile_e
+        gt_first = np.zeros(n_groups, np.int64)
+        gt_first[grp_idx] = np.cumsum(reps) - reps
+        tile_of_edge = gt_first[gid] + rank // tile_e
+        # compact dst-local stream [n_real_tiles, tile_e] i32 (−1 = no
+        # edge): the kernel synthesizes each tile's one-hot as (iota ==
+        # dstl row) on the VPU — 4·tile_e bytes/tile instead of the
+        # 128·tile_e int8 one-hot matrix (32× less DMA on the side
+        # stream).  Rows are DMA'd as 8-row-aligned slices (Mosaic
+        # sublane rule for i32).
+        dstl = np.full((_rup(max(n_real, 1), 8), tile_e), -1, np.int32)
+        dstl[tile_of_edge, rank % tile_e] = dst - block * BLOCK_N
+        arrays.update(
+            {"dstl": jnp.asarray(dstl),
+             "tile_start": jnp.asarray(tile_start),
+             "block_of_tile": jnp.asarray(block_of_tile),
+             "tile_msg_off": jnp.asarray(tile_msg_off),
+             "c_off": jnp.asarray(c_off),
+             "tile_type": jnp.asarray(tile_type)})
+        chunks = _chunk_blocks(tile_start, smem_tile_cap)
+    if span_mode or block_ok:
         # stored PRE-DIVIDED by 16: the kernel rescales (off16 * 16) so
         # Mosaic can statically prove sublane alignment of the dynamic
         # VMEM slice (a raw data-dependent index fails to compile)
@@ -1236,14 +1314,14 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
         grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
                      g.onehot is not None, g.edge_align,
                      _chunk_blocks(g.tile_start, smem_tile_cap))
-    chunks = _chunk_blocks(tile_start, smem_tile_cap)
     if span_mode and span_auto and chunks is not None:
         # auto: certified-bad combination (chunked + span, −37% at 1M)
         span_mode = False
         arrays.pop("blk_off16", None)
     meta = (n_nodes_pad, tile_e, 0, n_blocks, True, grad_meta,
             edge_align, "typed", chunks,
-            span_rows if span_mode else None)
+            span_rows if span_mode else None,
+            (S8, cmax, span_rows) if block_ok else None)
     return DeviceScatterLayout(meta=meta, arrays=arrays)
 
 
@@ -1569,6 +1647,12 @@ def typed_step_gru(h_pack, dstl, tile_start, block_of_tile,
     node state; GRU weights in the compute dtype.  Returns h_new f32."""
     D = h_pack.shape[-1]
     span = span_rows is not None and blk_off16 is not None
+    if span and 2 * span_rows * D * h_pack.dtype.itemsize > SPAN_VMEM_BYTES:
+        # ADVICE r4: the layout builder caps the span ring by ROWS only —
+        # D/dtype are call-time facts; an over-budget ring (e.g. D=256
+        # bf16 near SPAN_ROW_CAP) must drop to per-tile DMAs, not fail
+        # to compile against the 16 MB scoped-VMEM limit
+        span = False
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if span else 5,
         grid=(1,),
@@ -1639,6 +1723,9 @@ def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
     DMA per dst block instead of per tile (see _typed_onehot_kernel)."""
     D = h_pack.shape[-1]
     span = span_rows is not None and blk_off16 is not None
+    if span and 2 * span_rows * D * h_pack.dtype.itemsize > SPAN_VMEM_BYTES:
+        # ADVICE r4: byte-based fallback — see typed_step_gru above
+        span = False
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if span else 5,
         grid=(1,),
@@ -1678,3 +1765,265 @@ def typed_onehot_scatter(h_pack, dstl, tile_start, block_of_tile,
             transcendentals=0,
         ),
     )(*args, h_pack, dstl, msg_w)
+
+
+# ---------------------------------------------------------------------------
+# Per-BLOCK typed kernels (round 8): the per-tile loop above pays ~330 ns
+# of fixed scalar machinery per tile (8 SMEM stream reads, 6 branches,
+# DMA semaphores, loop arithmetic) against a 32K-tile structural floor —
+# docs/DESIGN.md "tile-count floor".  Here the grid/fori runs over dst
+# BLOCKS: per block ONE h span DMA + ONE dstl-range DMA (2-slot rings),
+# then a PYTHON-STATIC (type, chunk) inner loop whose per-slot work is a
+# single SMEM offset read, a provably-16-aligned dynamic VMEM slice
+# (off16·16 — the span-mode alignment pattern), a static dstl row read, a
+# one-hot synth and two MXU dots with a STATIC w_buf[t] index.  The
+# dynslice prototype (scripts/bench_r4_dynslice_proto.py) ran this inner
+# work at 112 ns/chunk vs the production 420 ns/tile.
+# ---------------------------------------------------------------------------
+
+
+def _typed_block_kernel(slot_ref, blk_ref, *rest, tile_e, S8, cmax, T2,
+                        n_blocks, span_rows, fused, guard):
+    """Per-block typed one-hot scatter (optionally with the GRU epilogue
+    of :func:`_typed_step_kernel`).  ``guard=True`` skips empty slots
+    behind a scalar branch; ``guard=False`` clamps their offset to 0 and
+    relies on the all(-1) dstl row producing a zero one-hot (no branches
+    — better when the slot grid is nearly dense)."""
+    if fused:
+        (h_hbm, dstl_hbm, w_hbm, init_hbm, hst_hbm, wa_ref, b_ref, uzr_ref,
+         uh_ref, out_hbm, acc, h_buf, o_buf, w_buf, init_buf, hst_buf,
+         h_sem, o_sem, w_sem, init_sem, hst_sem, out_sem) = rest
+    else:
+        (h_hbm, dstl_hbm, w_hbm, out_hbm, acc, h_buf, o_buf, w_buf,
+         h_sem, o_sem, w_sem, out_sem) = rest
+    D = out_hbm.shape[-1]
+    wcp = pltpu.make_async_copy(w_hbm, w_buf, w_sem)
+    wcp.start()
+    wcp.wait()
+
+    def span_dma(par, b):
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(blk_ref[b] * 16, span_rows), :],
+            h_buf.at[par], h_sem.at[par])
+
+    def o_dma(par, b):
+        return pltpu.make_async_copy(
+            dstl_hbm.at[pl.ds(b * S8, S8), :], o_buf.at[par],
+            o_sem.at[par])
+
+    if fused:
+        def st_dma(par, b):
+            return [pltpu.make_async_copy(
+                        init_hbm.at[pl.ds(b * BLOCK_N, BLOCK_N), :],
+                        init_buf.at[par], init_sem.at[par]),
+                    pltpu.make_async_copy(
+                        hst_hbm.at[pl.ds(b * BLOCK_N, BLOCK_N), :],
+                        hst_buf.at[par], hst_sem.at[par])]
+
+    def start_blk(par, b):
+        span_dma(par, b).start()
+        o_dma(par, b).start()
+        if fused:
+            for d in st_dma(par, b):
+                d.start()
+
+    def out_dma(par, b):
+        return pltpu.make_async_copy(
+            acc.at[par], out_hbm.at[pl.ds(b * BLOCK_N, BLOCK_N), :],
+            out_sem.at[par])
+
+    start_blk(0, 0)
+    if n_blocks > 1:
+        start_blk(1, 1)
+
+    def body(b, _):
+        par = jax.lax.rem(b, 2)
+
+        @pl.when(b >= 2)
+        def _():
+            out_dma(par, b - 2).wait()
+
+        span_dma(par, b).wait()
+        o_dma(par, b).wait()
+        if fused:
+            for d in st_dma(par, b):
+                d.wait()
+            acc[par] = init_buf[par]
+        else:
+            acc[par] = jnp.zeros_like(acc[par])
+        for t in range(T2):
+            for c in range(cmax):
+                s = t * cmax + c
+                off = slot_ref[b * S8 + s]
+
+                def chunk(off=off, s=s, t=t):
+                    seg = h_buf[par, pl.ds(off * 16, tile_e), :]
+                    row = o_buf[par, pl.ds(s, 1), :]       # [1, tile_e]
+                    oh = (jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK_N, tile_e), 0) == row
+                    ).astype(h_buf.dtype)
+                    p0 = jnp.dot(oh, seg,
+                                 preferred_element_type=jnp.float32)
+                    acc[par] = acc[par] + jnp.dot(
+                        p0.astype(w_buf.dtype), w_buf[t],
+                        preferred_element_type=jnp.float32)
+
+                if guard:
+                    pl.when(off >= 0)(chunk)
+                else:
+                    chunk(off=jnp.maximum(off, 0))
+        if fused:
+            a = acc[par]
+            hblk = hst_buf[par]
+            cdt = wa_ref.dtype
+            pa = jnp.dot(a.astype(cdt), wa_ref[...],
+                         preferred_element_type=jnp.float32) + b_ref[...]
+            ph = jnp.dot(hblk.astype(cdt), uzr_ref[...],
+                         preferred_element_type=jnp.float32)
+            z = jax.nn.sigmoid(pa[:, :D] + ph[:, :D])
+            rg = jax.nn.sigmoid(pa[:, D:2 * D] + ph[:, D:])
+            htil = jnp.tanh(pa[:, 2 * D:]
+                            + jnp.dot((rg * hblk).astype(cdt), uh_ref[...],
+                                      preferred_element_type=jnp.float32))
+            acc[par] = (1.0 - z) * hblk + z * htil
+        out_dma(par, b).start()
+
+        @pl.when(b + 2 < n_blocks)
+        def _():
+            # h_buf/o_buf[par] reads are done (the static loop completed)
+            # — issue block b+2's DMAs with one block of compute as lead
+            start_blk(par, b + 2)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+    if n_blocks >= 2:
+        out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
+    out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "tile_e", "S8", "cmax",
+                                    "span_rows", "guard", "interpret"))
+def typed_block_scatter(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
+                        n_blocks: int, tile_e: int, S8: int, cmax: int,
+                        span_rows: int, guard: bool = True,
+                        interpret: bool = False):
+    """Per-block typed-pack scatter: out[b·128:(b+1)·128] =
+    Σ_{t,c} (onehot(b,t,c) @ H_chunk) · W_t with a python-static (t, c)
+    loop (see :func:`_typed_block_kernel`)."""
+    D = h_pack.shape[-1]
+    T2 = msg_w.shape[0]
+    if 2 * span_rows * D * h_pack.dtype.itemsize > SPAN_VMEM_BYTES:
+        raise ValueError(
+            f"block-mode span ring 2x{span_rows}x{D} in "
+            f"{h_pack.dtype} exceeds the ~{SPAN_VMEM_BYTES >> 20} MB VMEM "
+            "budget; rebuild the layout with block_mode=False")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((2, span_rows, D), h_pack.dtype),
+            pltpu.VMEM((2, S8, tile_e), jnp.int32),
+            pltpu.VMEM(msg_w.shape, msg_w.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_typed_block_kernel, tile_e=tile_e, S8=S8,
+                               cmax=cmax, T2=T2, n_blocks=n_blocks,
+                               span_rows=span_rows, fused=False,
+                               guard=guard)
+    n_chunks = slot_off16.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * BLOCK_N * tile_e * D
+            + 2 * n_chunks * BLOCK_N * D * D,
+            bytes_accessed=n_blocks
+            * (span_rows * D * h_pack.dtype.itemsize + S8 * tile_e * 4)
+            + n_blocks * BLOCK_N * D * 4,
+            transcendentals=0,
+        ),
+    )(slot_off16, blk_off16, h_pack, dstl_blk, msg_w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "tile_e", "S8", "cmax",
+                                    "span_rows", "guard", "interpret"))
+def typed_block_step_gru(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
+                         init, hstate, wa, b3, uzr, uh, n_blocks: int,
+                         tile_e: int, S8: int, cmax: int, span_rows: int,
+                         guard: bool = True, interpret: bool = False):
+    """Fused per-block typed aggregation + GRU step (the block-mode
+    counterpart of :func:`typed_step_gru`): ``init`` [n_rows, D] f32 is
+    the Σ_t indeg_t·b_t bias partial, ``hstate`` the padded node state;
+    returns h_new f32."""
+    D = h_pack.shape[-1]
+    T2 = msg_w.shape[0]
+    if 2 * span_rows * D * h_pack.dtype.itemsize > SPAN_VMEM_BYTES:
+        raise ValueError(
+            f"block-mode span ring 2x{span_rows}x{D} in "
+            f"{h_pack.dtype} exceeds the ~{SPAN_VMEM_BYTES >> 20} MB VMEM "
+            "budget; rebuild the layout with block_mode=False")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((2, span_rows, D), h_pack.dtype),
+            pltpu.VMEM((2, S8, tile_e), jnp.int32),
+            pltpu.VMEM(msg_w.shape, msg_w.dtype),
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((2, BLOCK_N, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_typed_block_kernel, tile_e=tile_e, S8=S8,
+                               cmax=cmax, T2=T2, n_blocks=n_blocks,
+                               span_rows=span_rows, fused=True,
+                               guard=guard)
+    n_chunks = slot_off16.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK_N, D),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * BLOCK_N * tile_e * D
+            + 2 * n_chunks * BLOCK_N * D * D
+            + n_blocks * BLOCK_N * D * 6 * D * 2,
+            bytes_accessed=n_blocks
+            * (span_rows * D * h_pack.dtype.itemsize + S8 * tile_e * 4)
+            + n_blocks * BLOCK_N * D * 4 * 3,
+            transcendentals=3 * n_blocks * BLOCK_N * D,
+        ),
+    )(slot_off16, blk_off16, h_pack, dstl_blk, msg_w, init, hstate, wa,
+      b3, uzr, uh)

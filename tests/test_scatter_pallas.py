@@ -252,10 +252,13 @@ def test_typed_pack_chunked_parity(rng):
     dst = rng.integers(0, N, E).astype(np.int32)
     typ = rng.integers(0, T2, E).astype(np.int32)
     mask = (rng.random(E) < 0.9).astype(np.float32)
+    # block_mode=False: SMEM chunking is a per-TILE-kernel concept (the
+    # round-8 block kernel has its own slot cap and no tile_start)
     lay_1 = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   with_grad=True)
+                                   with_grad=True, block_mode=False)
     lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   with_grad=True, smem_tile_cap=8)
+                                   with_grad=True, smem_tile_cap=8,
+                                   block_mode=False)
     assert lay_1.meta[8] is None and lay_c.meta[8] is not None
     assert len(lay_c.meta[8]) >= 2          # actually chunked
     assert lay_c.grad_meta[5] is not None   # grad layout chunked too
@@ -306,9 +309,10 @@ def test_typed_pack_chunked_fuzz(seed, cap):
     typ = r.integers(0, T2, E).astype(np.int32)
     mask = (r.random(E) < 0.85).astype(np.float32)
     lay_1 = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   with_grad=True)
+                                   with_grad=True, block_mode=False)
     lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   with_grad=True, smem_tile_cap=cap)
+                                   with_grad=True, smem_tile_cap=cap,
+                                   block_mode=False)
     w = jax.random.normal(jax.random.PRNGKey(seed), (T2, D, D)) * 0.2
     b = jax.random.normal(jax.random.PRNGKey(seed + 1), (T2, D)) * 0.1
     h = jax.random.normal(jax.random.PRNGKey(seed + 2), (N, D))
@@ -382,18 +386,100 @@ def test_typed_span_mode_parity():
     b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
     h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
     lay = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                 span_mode=False)
+                                 span_mode=False, block_mode=False)
     lay_s = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   span_mode=True)
+                                   span_mode=True, block_mode=False)
     assert lay.meta[9] is None and lay_s.meta[9] is not None
-    # 'auto' (default) enables span for un-chunked layouts, drops it
-    # for chunked ones (the certified-bad combination)
-    lay_a = build_typed_dst_layout(src, dst, typ, mask, N, T2)
+    # 'auto' span (with block mode held off) enables span for un-chunked
+    # layouts, drops it for chunked ones (the certified-bad combination)
+    lay_a = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   block_mode=False)
     assert lay_a.meta[9] is not None
     lay_c = build_typed_dst_layout(src, dst, typ, mask, N, T2,
-                                   smem_tile_cap=5)
+                                   smem_tile_cap=5, block_mode=False)
     assert lay_c.meta[8] is not None and lay_c.meta[9] is None
     assert "blk_off16" not in lay_c.arrays
     ref = aggregate_onehot(h, lay, w, b, interpret=True)
     got = aggregate_onehot(h, lay_s, w, b, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_typed_block_mode_parity():
+    """Round-8 per-BLOCK kernel (static (type, chunk) inner loop): the
+    default 'auto' layout must engage it on hub-free graphs and be
+    BIT-identical to the per-tile kernel (same accumulation order), for
+    the plain scatter, the fused GRU step, and gradients."""
+    from ggnn_tpu.models import ModelConfig, init_params, propagate
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    r = np.random.default_rng(7)
+    N, E, T, D = 640, 9000, 3, 128
+    T2 = 2 * T
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = r.integers(0, N, E).astype(np.int32)
+    typ = r.integers(0, T2, E).astype(np.int32)
+    mask = (r.random(E) < 0.9).astype(np.float32)
+    lay_b = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True)
+    lay_t = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True, block_mode=False)
+    assert lay_b.meta[10] is not None          # auto engaged
+    assert lay_t.meta[10] is None
+    assert "dstl_blk" in lay_b.arrays and "slot_off16" in lay_b.arrays
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    ref = aggregate_onehot(h, lay_t, w, b, interpret=True)
+    got = aggregate_onehot(h, lay_b, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # gradients (the grad layout machinery is shared — must stay exact)
+    def loss(lay):
+        def f(h, w, b):
+            return jnp.sum(aggregate_onehot(h, lay, w, b,
+                                            interpret=True) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(lay_t), argnums=(0, 1, 2))(h, w, b)
+    g_new = jax.grad(loss(lay_b), argnums=(0, 1, 2))(h, w, b)
+    for a_, c_, name in zip(g_new, g_ref, ("dh", "dW", "db")):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(c_),
+                                      err_msg=name)
+
+    # fused GRU step through the block kernel (typed_block_step_gru)
+    cfg_f = ModelConfig(state_dim=D, annotation_dim=4, n_edge_types=T,
+                        n_steps=2, backend="onehot", fuse_gru=True)
+    params = init_params(jax.random.PRNGKey(0), cfg_f)
+    ann = jnp.asarray((np.random.default_rng(1).random((N, 4)) < 0.4)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+    out_t = propagate(params["prop"], cfg_f, *args, scatter_layout=lay_t)
+    out_b = propagate(params["prop"], cfg_f, *args, scatter_layout=lay_b)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_t))
+
+
+def test_typed_block_mode_hub_fallback():
+    """A hub graph (one dst block absorbing most edges) must NOT engage
+    block mode under 'auto' (slot-grid waste), falling back to the
+    per-tile kernel — and still compute correctly."""
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    from ggnn_tpu.ops.segment import typed_aggregate
+    r = np.random.default_rng(11)
+    N, E, T2, D = 1024, 6000, 4, 64
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = np.where(r.random(E) < 0.9, r.integers(0, 64, E),
+                   r.integers(0, N, E)).astype(np.int32)
+    typ = r.integers(0, T2, E).astype(np.int32)
+    mask = np.ones(E, np.float32)
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2, tile_e=128)
+    assert lay.meta[10] is None            # hub: auto declined
+    w = jax.random.normal(jax.random.PRNGKey(0), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    ref = typed_aggregate(h, jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(typ), jnp.asarray(mask), w, b)
+    got = aggregate_onehot(h, lay, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
