@@ -469,7 +469,8 @@ def main() -> int:
                 # TRAINING record (VERDICT r3 #6): full fwd+bwd+Adam
                 # through the fused trainable window step (emit_res
                 # custom VJP) — same config as the perf-threshold case
-                # community_train_window (floor 215e6).  Placed before
+                # community_train_window (see its floor in
+                # tests/test_perf_thresholds.py).  Placed before
                 # q8 so a budget cut loses the already-r03-certified q8
                 # entry rather than the first-ever driver train number.
                 return bench_backend("window", batch=_comm_batch(),
@@ -477,9 +478,27 @@ def main() -> int:
                                      on_demand=True, q8=False,
                                      mode="train")
 
+            def _community_1m():
+                # BASELINE-scale record (VERDICT r4 #5): the certified
+                # 1M-node / 20M-directed-edge serving config (bf16 +
+                # prebuilt table + fused step + legacy table-gather
+                # spill, block_rows 256 — 432.0M measured 2026-08-20;
+                # matches the 1m_community_fwd_window threshold case).
+                # chain 2: chain>=5 at this scale risks the remote
+                # compile helper.  Placed LAST so a budget cut loses it
+                # before any smaller-scale certified entry.
+                b1m = synthetic_batch(1_000_000, 10_000_000, args.types,
+                                      annotation_dim=8, seed=0,
+                                      node_mult=256, n_communities=4096,
+                                      p_intra=0.95)
+                return bench_backend("window", batch=b1m, block_rows=256,
+                                     fuse_gru=True, on_demand=False,
+                                     q8=False, xw=False, chain=2)
+
             plan.append(("window_community", _community))
             plan.append(("window_community_train", _community_train))
             plan.append(("window_community_q8", _community_q8))
+            plan.append(("window_community_1m", _community_1m))
     else:
         plan.append((args.backend, lambda: bench_backend(args.backend)))
 

@@ -977,6 +977,18 @@ def _typed_reverse_scatter(meta, interpret, arrs, da, T2, N, D,
     when present, else XLA segment_sum.  Returns [T2·N, D] flat in the
     layout's table-row order."""
     grad_meta = meta[5]
+    if grad_meta is not None and grad_meta[0] == "octet":
+        # round-8 octet kernel: 8 grad blocks per iteration, static
+        # (block, chunk) loop — see _grad_octet_kernel
+        _, B_g, g_tile, C_g, R8, span8, n_oct = grad_meta
+        if out_dtype is not None:
+            da = da.astype(out_dtype)
+        G = da[arrs["g_gather_idx"]]
+        Y_flat = typed_grad_octet_scatter(
+            G, arrs["g_dstl_oct"], arrs["g_slot_off16"],
+            arrs["g_oblk16"], n_oct=n_oct, g_tile=g_tile, C=C_g, R8=R8,
+            span8=span8, out_dtype=out_dtype, interpret=interpret)
+        return Y_flat[:T2 * N]
     if grad_meta is not None:
         g_blocks, g_max_tiles, g_tile_e, g_has_onehot = grad_meta[:4]
         g_align = grad_meta[4] if len(grad_meta) > 4 else None
@@ -1291,29 +1303,97 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
             grad_tile_e = 128
             while grad_tile_e < min(avg, 2048):
                 grad_tile_e *= 2
-        g = build_dst_block_layout(
-            edge_src=dst, edge_dst=grow, edge_type=np.zeros_like(typ),
-            edge_mask=np.ones(dst.shape[0], np.float32),
-            n_nodes_pad=n_rows_grad, tile_e=grad_tile_e,
-            onehot_stream=True, n_src_rows=n_nodes_pad,
-            edge_align=(16 if grad_tile_e % 16 == 0 else None),
-            # compact dstl grad stream (one-hots synthesized in-kernel):
-            # the int8 g stream was ~128·E bytes ≈ 1 GB/prop-step at 8M
-            # edges; the dstl stream is 4·E
-            dstl_stream=grad_tile_e % 16 == 0)
-        arrays["g_gather_idx"] = jnp.asarray(g.gather_idx)
-        arrays["g_tile_start"] = jnp.asarray(g.tile_start)
-        arrays["g_block_of_tile"] = jnp.asarray(g.block_of_tile)
-        if g.dstl is not None:
-            arrays["g_dstl"] = jnp.asarray(g.dstl)
+        # OCTET grad layout (round 8): the grad grouping has T2x more,
+        # tiny blocks (~1-2 tiles each) — per-tile DMA machinery is the
+        # dominant cost there.  Process 8 CONTIGUOUS grad blocks per
+        # kernel iteration: one pack span DMA, one dstl DMA, one
+        # [8·128, D] output DMA per octet, and a python-static
+        # (block-in-octet, chunk) inner loop (see _grad_octet_kernel).
+        # Engages with block mode (block_mode is not False) when the
+        # slot grid stays bounded; hub layouts keep the per-tile path.
+        if block_mode is not False:
+            gb = (grow // BLOCK_N).astype(np.int64)
+            B_g = n_rows_grad // BLOCK_N
+            gcnt_g = np.bincount(gb, minlength=B_g)
+            gchunks = -(-gcnt_g // grad_tile_e)
+            C_g = max(int(gchunks.max(initial=0)), 1)
+            n_oct = -(-B_g // 8)
+            R8 = _rup(8 * C_g, 8)
+            gb_base = np.zeros(B_g + 1, np.int64)
+            np.cumsum(-(-gcnt_g // 16) * 16, out=gb_base[1:])
+            oct_start = gb_base[np.minimum(np.arange(n_oct) * 8, B_g)]
+            oct_end = gb_base[np.minimum(np.arange(1, n_oct + 1) * 8,
+                                         B_g)]
+            span8 = _rup(int((oct_end - oct_start).max(initial=0))
+                         + grad_tile_e, 16)
+            n_real_g = int(gchunks.sum())
+            octet_ok = (C_g <= 8 and n_oct * 8 * C_g <= BLOCK_SLOT_CAP
+                        and span8 <= SPAN_ROW_CAP
+                        and n_oct * 8 * C_g
+                        <= 3 * max(n_real_g, 1) + 8 * B_g)
         else:
-            arrays["g_onehot"] = jnp.asarray(g.onehot)
-        if g.tile_msg_off is not None:
-            arrays["g_tile_msg_off"] = jnp.asarray(g.tile_msg_off)
-        arrays["g_indeg"] = arrays["indeg"]
-        grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
-                     g.onehot is not None, g.edge_align,
-                     _chunk_blocks(g.tile_start, smem_tile_cap))
+            octet_ok = False
+        if octet_ok:
+            order_g = np.lexsort((dst, gb))
+            g_dst = dst[order_g]           # gather rows into da
+            ggb = gb[order_g]
+            g_local = (grow % BLOCK_N)[order_g]
+            first_g = np.zeros(B_g + 1, np.int64)
+            first_g[1:] = np.cumsum(gcnt_g)
+            rank_g = np.arange(g_dst.shape[0]) - first_g[ggb]
+            pos_g = gb_base[ggb] + rank_g
+            e_pack_g = int(gb_base[-1]) + grad_tile_e
+            e_pack_g = max(e_pack_g,
+                           int(oct_start.max(initial=0)) + span8)
+            g_gather = np.zeros(e_pack_g, np.int32)
+            g_gather[pos_g] = g_dst.astype(np.int32)
+            # slot (grad block, chunk) -> pack offset relative to the
+            # octet span start, pre-divided by 16; -1 = no chunk
+            slot_off = np.full(n_oct * 8 * C_g, -1, np.int32)
+            nz = np.nonzero(gchunks)[0]
+            reps_g = gchunks[nz]
+            t_gb = np.repeat(nz, reps_g)
+            t_c = (np.arange(int(reps_g.sum()))
+                   - np.repeat(np.cumsum(reps_g) - reps_g, reps_g))
+            slot_off[t_gb * C_g + t_c] = (
+                (gb_base[t_gb] + t_c * grad_tile_e
+                 - oct_start[t_gb // 8]) // 16)
+            c_of = rank_g // grad_tile_e
+            g_dstl = np.full((n_oct * R8, grad_tile_e), -1, np.int32)
+            g_dstl[(ggb // 8) * R8 + (ggb % 8) * C_g + c_of,
+                   rank_g % grad_tile_e] = g_local
+            arrays["g_gather_idx"] = jnp.asarray(g_gather)
+            arrays["g_slot_off16"] = jnp.asarray(slot_off)
+            arrays["g_dstl_oct"] = jnp.asarray(g_dstl)
+            arrays["g_oblk16"] = jnp.asarray(
+                (oct_start // 16).astype(np.int32))
+            arrays["g_indeg"] = arrays["indeg"]
+            grad_meta = ("octet", B_g, grad_tile_e, C_g, R8, span8,
+                         n_oct)
+        else:
+            g = build_dst_block_layout(
+                edge_src=dst, edge_dst=grow, edge_type=np.zeros_like(typ),
+                edge_mask=np.ones(dst.shape[0], np.float32),
+                n_nodes_pad=n_rows_grad, tile_e=grad_tile_e,
+                onehot_stream=True, n_src_rows=n_nodes_pad,
+                edge_align=(16 if grad_tile_e % 16 == 0 else None),
+                # compact dstl grad stream (one-hots synthesized in-
+                # kernel): the int8 g stream was ~128·E bytes ≈ 1 GB/
+                # prop-step at 8M edges; the dstl stream is 4·E
+                dstl_stream=grad_tile_e % 16 == 0)
+            arrays["g_gather_idx"] = jnp.asarray(g.gather_idx)
+            arrays["g_tile_start"] = jnp.asarray(g.tile_start)
+            arrays["g_block_of_tile"] = jnp.asarray(g.block_of_tile)
+            if g.dstl is not None:
+                arrays["g_dstl"] = jnp.asarray(g.dstl)
+            else:
+                arrays["g_onehot"] = jnp.asarray(g.onehot)
+            if g.tile_msg_off is not None:
+                arrays["g_tile_msg_off"] = jnp.asarray(g.tile_msg_off)
+            arrays["g_indeg"] = arrays["indeg"]
+            grad_meta = (g.n_blocks, g.max_tiles, g.tile_e,
+                         g.onehot is not None, g.edge_align,
+                         _chunk_blocks(g.tile_start, smem_tile_cap))
     if span_mode and span_auto and chunks is not None:
         # auto: certified-bad combination (chunked + span, −37% at 1M)
         span_mode = False
@@ -1907,7 +1987,7 @@ def _typed_block_kernel(slot_ref, blk_ref, *rest, tile_e, S8, cmax, T2,
                                     "span_rows", "guard", "interpret"))
 def typed_block_scatter(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
                         n_blocks: int, tile_e: int, S8: int, cmax: int,
-                        span_rows: int, guard: bool = True,
+                        span_rows: int, guard: bool = False,
                         interpret: bool = False):
     """Per-block typed-pack scatter: out[b·128:(b+1)·128] =
     Σ_{t,c} (onehot(b,t,c) @ H_chunk) · W_t with a python-static (t, c)
@@ -1965,7 +2045,7 @@ def typed_block_scatter(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
 def typed_block_step_gru(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
                          init, hstate, wa, b3, uzr, uh, n_blocks: int,
                          tile_e: int, S8: int, cmax: int, span_rows: int,
-                         guard: bool = True, interpret: bool = False):
+                         guard: bool = False, interpret: bool = False):
     """Fused per-block typed aggregation + GRU step (the block-mode
     counterpart of :func:`typed_step_gru`): ``init`` [n_rows, D] f32 is
     the Σ_t indeg_t·b_t bias partial, ``hstate`` the padded node state;
@@ -2027,3 +2107,133 @@ def typed_block_step_gru(h_pack, dstl_blk, slot_off16, blk_off16, msg_w,
         ),
     )(slot_off16, blk_off16, h_pack, dstl_blk, msg_w, init, hstate, wa,
       b3, uzr, uh)
+
+
+def _grad_octet_kernel(slot_ref, oblk_ref, g_hbm, dstl_hbm, out_hbm, acc,
+                       cast_buf, g_buf, o_buf, g_sem, o_sem, out_sem, *,
+                       g_tile, C, R8, n_oct, span8, cast_out):
+    """OCTET reverse scatter (round 8): the typed backward's grad
+    grouping has T2x more, tiny (1-2 tile) blocks — per-tile DMA
+    machinery dominated it.  Each fori iteration covers 8 CONTIGUOUS
+    grad blocks: one pack span DMA, one dstl DMA, one [8·128, D] output
+    DMA, and a python-static (block-in-octet, chunk) loop whose per-slot
+    work is one SMEM offset read, a provable dynamic VMEM slice
+    (off16·16), a static dstl row and a single one-hot MXU dot into the
+    octet accumulator's static row range.  No branches: empty slots
+    clamp their offset to 0 and their all(−1) dstl row produces a zero
+    one-hot."""
+    OCT = 8 * BLOCK_N
+
+    def span_dma(par, o):
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(oblk_ref[o] * 16, span8), :],
+            g_buf.at[par], g_sem.at[par])
+
+    def o_dma(par, o):
+        return pltpu.make_async_copy(
+            dstl_hbm.at[pl.ds(o * R8, R8), :], o_buf.at[par],
+            o_sem.at[par])
+
+    def out_dma(par, o):
+        src = cast_buf.at[par] if cast_out else acc.at[par]
+        return pltpu.make_async_copy(
+            src, out_hbm.at[pl.ds(o * OCT, OCT), :], out_sem.at[par])
+
+    def start_oct(par, o):
+        span_dma(par, o).start()
+        o_dma(par, o).start()
+
+    start_oct(0, 0)
+    if n_oct > 1:
+        start_oct(1, 1)
+
+    def body(o, _):
+        par = jax.lax.rem(o, 2)
+
+        @pl.when(o >= 2)
+        def _():
+            out_dma(par, o - 2).wait()
+
+        span_dma(par, o).wait()
+        o_dma(par, o).wait()
+        acc[par] = jnp.zeros_like(acc[par])
+        for j in range(8):
+            for c in range(C):
+                off = jnp.maximum(slot_ref[(o * 8 + j) * C + c], 0)
+                seg = g_buf[par, pl.ds(off * 16, g_tile), :]
+                row = o_buf[par, pl.ds(j * C + c, 1), :]
+                oh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (BLOCK_N, g_tile), 0) == row
+                ).astype(g_buf.dtype)
+                prod = jnp.dot(oh, seg, preferred_element_type=jnp.float32)
+                acc[par, pl.ds(j * BLOCK_N, BLOCK_N), :] = \
+                    acc[par, pl.ds(j * BLOCK_N, BLOCK_N), :] + prod
+        if cast_out:
+            cast_buf[par] = acc[par].astype(cast_buf.dtype)
+        out_dma(par, o).start()
+
+        @pl.when(o + 2 < n_oct)
+        def _():
+            start_oct(par, o + 2)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_oct, body, 0)
+    if n_oct >= 2:
+        out_dma((n_oct - 2) % 2, n_oct - 2).wait()
+    out_dma((n_oct - 1) % 2, n_oct - 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_oct", "g_tile", "C", "R8", "span8",
+                                    "out_dtype", "interpret"))
+def typed_grad_octet_scatter(G, dstl_oct, slot_off16, oblk16, n_oct: int,
+                             g_tile: int, C: int, R8: int, span8: int,
+                             out_dtype=None, interpret: bool = False):
+    """Y_flat[row] = Σ_{edges packed to row} G[e] over the octet grad
+    layout (see :func:`_grad_octet_kernel`).  ``G`` [E_pack_g, D] is the
+    gathered cotangent pack; returns [n_oct·8·128, D] in ``out_dtype``
+    (default f32)."""
+    D = G.shape[-1]
+    out_dtype = jnp.dtype(jnp.float32 if out_dtype is None else out_dtype)
+    cast_out = out_dtype != jnp.dtype(jnp.float32)
+    if 2 * span8 * D * G.dtype.itemsize > SPAN_VMEM_BYTES:
+        raise ValueError(
+            f"octet span ring 2x{span8}x{D} in {G.dtype} exceeds the "
+            f"~{SPAN_VMEM_BYTES >> 20} MB VMEM budget; rebuild the "
+            "layout with block_mode=False")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8 * BLOCK_N, D), jnp.float32),
+            pltpu.VMEM((2, 8 * BLOCK_N, D) if cast_out else (1, 8, 128),
+                       out_dtype),
+            pltpu.VMEM((2, span8, D), G.dtype),
+            pltpu.VMEM((2, R8, g_tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_grad_octet_kernel, g_tile=g_tile, C=C,
+                               R8=R8, n_oct=n_oct, span8=span8,
+                               cast_out=cast_out)
+    n_slots = slot_off16.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_oct * 8 * BLOCK_N, D),
+                                       out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * BLOCK_N * g_tile * D,
+            bytes_accessed=n_oct
+            * (span8 * D * G.dtype.itemsize + R8 * g_tile * 4)
+            + n_oct * 8 * BLOCK_N * D * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(slot_off16, oblk16, G, dstl_oct)

@@ -2346,8 +2346,12 @@ def _aggregate_window_bwd(meta, interpret, res, da):
     T2 = msg_w.shape[0]
     R = T2 * N
     # callers may pass da with fewer rows than the layout's padded dst
-    # space (out[:N] slicing) — pad once in f32 for db (padding rows have
-    # zero in-degree) and once in the compute dtype for the kernels
+    # space (out[:N] slicing) — pad once for db (padding rows have zero
+    # in-degree) and once in the compute dtype for the kernels.  NOTE:
+    # da may already arrive NARROW (compute-dtype) from the fused-step
+    # VJP (gru_cell_bwd emits da in cdt since round 7); db and the spill
+    # backward still ACCUMULATE f32 from those rows — an intentional,
+    # parity-tested trade (ADVICE r4)
     da_f = jnp.pad(da, ((0, n_blocks * block_rows - da.shape[0]), (0, 0)))
     da_pad = da_f.astype(h.dtype)
     dh_sp = dW_sp = None

@@ -143,27 +143,29 @@ def main():
     gargs = (w_a.astype(cdt), b_all[None, :].astype(jnp.float32),
              u_zr.astype(cdt), gru["uh"].astype(cdt))
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def fused_blk(hp, arrs_, k):
+    # bias/h_pad must flow through jit ARGUMENTS (closure constants blow
+    # the remote-compile payload — HTTP 413)
+    @functools.partial(jax.jit, static_argnames=("k", "guard"))
+    def fused_blk(hp, arrs_, bias_, h_pad_, k, guard):
         def body(i, acc):
             hp2 = hp + (acc[0, 0] * 1e-30).astype(hp.dtype)
             out = sp.typed_block_step_gru(
                 hp2, arrs_["dstl_blk"], arrs_["slot_off16"],
-                arrs_["blk_off16"], msg_w, bias, h_pad, *gargs,
+                arrs_["blk_off16"], msg_w, bias_, h_pad_, *gargs,
                 n_blocks=n_blocks, tile_e=tile_e, S8=S8, cmax=cmax,
-                span_rows=b_span, interpret=INTERP)
+                span_rows=b_span, guard=guard, interpret=INTERP)
             return acc + out[:8].astype(jnp.float32)
         acc = jax.lax.fori_loop(0, k, body, jnp.zeros((8, D), jnp.float32))
         return jnp.sum(acc)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def fused_tile(hp, arrs_, k):
+    def fused_tile(hp, arrs_, bias_, h_pad_, k):
         def body(i, acc):
             hp2 = hp + (acc[0, 0] * 1e-30).astype(hp.dtype)
             out = sp.typed_step_gru(
                 hp2, arrs_["dstl"], arrs_["tile_start"],
                 arrs_["block_of_tile"], arrs_["tile_msg_off"],
-                arrs_["c_off"], arrs_["tile_type"], msg_w, bias, h_pad,
+                arrs_["c_off"], arrs_["tile_type"], msg_w, bias_, h_pad_,
                 *gargs, n_blocks=n_blocks, tile_e=meta_t[1],
                 align=meta_t[6], blk_off16=arrs_.get("blk_off16"),
                 span_rows=(meta_t[9] if len(meta_t) > 9 else None),
@@ -172,35 +174,80 @@ def main():
         acc = jax.lax.fori_loop(0, k, body, jnp.zeros((8, D), jnp.float32))
         return jnp.sum(acc)
 
+    # tile_e=512 layout: cmax collapses to 1 -> 32768 slots (one per
+    # (block, type) group) at the cost of wider per-slot dots
+    lay_5 = sp.build_typed_dst_layout(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        batch.spec.n_pad, n_message_types=16, with_grad=False, tile_e=512)
+    S8_5, cmax_5, span_5 = lay_5.meta[10]
+    print(f"tile_e=512 layout: S8={S8_5} cmax={cmax_5} span={span_5} "
+          f"slots={lay_5.arrays['slot_off16'].shape[0]}", flush=True)
+    # lay_5 has its OWN pack (different e_pack/offsets) — reusing lay_b's
+    # h_pack with lay_5 offsets reads out of bounds (TPU Internal error)
+    h_pack5 = jax.jit(lambda hh, i: hh.astype(jnp.bfloat16)[i])(
+        h, lay_5.arrays["gather_idx"])
+    h_pack5 = jax.block_until_ready(h_pack5)
+
+    @functools.partial(jax.jit, static_argnames=("k", "guard"))
+    def scatter_blk5(hp, arrs_, k, guard):
+        def body(i, acc):
+            hp2 = hp + (acc[0, 0] * 1e-30).astype(hp.dtype)
+            out = sp.typed_block_scatter(
+                hp2, arrs_["dstl_blk"], arrs_["slot_off16"],
+                arrs_["blk_off16"], msg_w, n_blocks=n_blocks,
+                tile_e=512, S8=S8_5, cmax=cmax_5, span_rows=span_5,
+                guard=guard, interpret=INTERP)
+            return acc + out[:8].astype(jnp.float32)
+        acc = jax.lax.fori_loop(0, k, body, jnp.zeros((8, D), jnp.float32))
+        return jnp.sum(acc)
+
+    which = os.environ.get("PROBE_ONLY", "").split(",")
+
+    def want(tag):
+        return not which or which == [""] or tag in which
+
     print(f"device: {jax.devices()[0]}", flush=True)
     r = {}
-    r["scatter_blk_g"] = diff(
-        "scatter_blk_g",
-        lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=1, guard=True)),
-        lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=K, guard=True)))
-    r["scatter_blk_n"] = diff(
-        "scatter_blk_n",
-        lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=1, guard=False)),
-        lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=K,
-                                  guard=False)))
-    r["scatter_tile"] = diff(
-        "scatter_tile",
-        lambda: float(scatter_tile(h_pack0, arrs_t, k=1)),
-        lambda: float(scatter_tile(h_pack0, arrs_t, k=K)))
-    r["fused_blk"] = diff(
-        "fused_blk",
-        lambda: float(fused_blk(h_pack0, lay_b.arrays, k=1)),
-        lambda: float(fused_blk(h_pack0, lay_b.arrays, k=K)))
-    r["fused_tile"] = diff(
-        "fused_tile",
-        lambda: float(fused_tile(h_pack0, arrs_t, k=1)),
-        lambda: float(fused_tile(h_pack0, arrs_t, k=K)))
+    if want("scatter_blk_g"):
+        r["scatter_blk_g"] = diff(
+            "scatter_blk_g",
+            lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=1,
+                                      guard=True)),
+            lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=K,
+                                      guard=True)))
+    if want("scatter_blk_n"):
+        r["scatter_blk_n"] = diff(
+            "scatter_blk_n",
+            lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=1,
+                                      guard=False)),
+            lambda: float(scatter_blk(h_pack0, lay_b.arrays, k=K,
+                                      guard=False)))
+    if want("scatter_blk5_n"):
+        r["scatter_blk5_n"] = diff(
+            "scatter_blk5_n",
+            lambda: float(scatter_blk5(h_pack5, lay_5.arrays, k=1,
+                                       guard=False)),
+            lambda: float(scatter_blk5(h_pack5, lay_5.arrays, k=K,
+                                       guard=False)))
+    if want("scatter_tile"):
+        r["scatter_tile"] = diff(
+            "scatter_tile",
+            lambda: float(scatter_tile(h_pack0, arrs_t, k=1)),
+            lambda: float(scatter_tile(h_pack0, arrs_t, k=K)))
+    if want("fused_blk"):
+        r["fused_blk"] = diff(
+            "fused_blk",
+            lambda: float(fused_blk(h_pack0, lay_b.arrays, bias, h_pad,
+                                    k=1, guard=False)),
+            lambda: float(fused_blk(h_pack0, lay_b.arrays, bias, h_pad,
+                                    k=K, guard=False)))
+    if want("fused_tile"):
+        r["fused_tile"] = diff(
+            "fused_tile",
+            lambda: float(fused_tile(h_pack0, arrs_t, bias, h_pad, k=1)),
+            lambda: float(fused_tile(h_pack0, arrs_t, bias, h_pad, k=K)))
     print("\nsummary:", {k: f"{v * 1e3:.2f} ms" for k, v in r.items()},
           flush=True)
-    if not INTERP:
-        per_slot = r["scatter_blk_g"] / max(n_real, 1)
-        print(f"block kernel: {per_slot * 1e9:.0f} ns/real-slot "
-              f"(prototype 112; per-tile production ~420)", flush=True)
 
 
 if __name__ == "__main__":

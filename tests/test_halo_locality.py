@@ -36,3 +36,67 @@ def test_clustered_sharded_propagation_correct():
     got = np.asarray(sharded_propagate(params["prop"], cfg, mesh, parts,
                                        strategy="halo_overlap"))
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-6)
+
+
+def _skewed_batch(n_nodes, n_edges, P, seed=0):
+    """Hub-skewed cut: most sources live in shard 0's node range, so the
+    (0 -> s) request sets dominate and every other pair pads to their H."""
+    r = np.random.default_rng(seed)
+    n_local = n_nodes // P
+    src = np.where(r.random(n_edges) < 0.8,
+                   r.integers(0, n_local, n_edges),
+                   r.integers(0, n_nodes, n_edges)).astype(np.int32)
+    dst = r.integers(0, n_nodes, n_edges).astype(np.int32)
+    from ggnn_tpu.graph import GraphBatch, PaddingSpec
+    spec = PaddingSpec(n_graphs=1, n_pad=n_nodes, e_pad=n_edges,
+                       n_edge_types=2, annotation_dim=2)
+    return GraphBatch(
+        spec=spec,
+        annotations=np.zeros((n_nodes, 2), np.float32),
+        edge_src=src, edge_dst=dst,
+        edge_type=r.integers(0, 2, n_edges).astype(np.int32),
+        edge_mask=np.ones(n_edges, np.float32),
+        node_mask=np.ones(n_nodes, np.float32),
+        node_graph=np.zeros(n_nodes, np.int32),
+        type_offsets=np.zeros(5, np.int32),
+        n_nodes=np.array([n_nodes], np.int32))
+
+
+def test_halo_plan_size_scaling_skewed():
+    """VERDICT r4 #6: the dense [P, P, H] halo plan is O(P^2 * H) with H
+    set by the WORST pair — pin the scaling limit on a skewed cut at
+    P=32/64 (machinery must still work; waste must be measured), and
+    bound the plan bytes this abstraction costs at these scales.  The
+    pod-scale fix (ragged per-pair offsets) is sketched in
+    docs/DESIGN.md 'Round 8: halo plan scaling bound'."""
+    n_nodes, n_edges = 8192, 65536
+    stats = {}
+    for P in (32, 64):
+        b = _skewed_batch(n_nodes, n_edges, P)
+        parts = partition_batch(b, P)
+        H = parts.halo_size
+        plan = parts.halo_send_idx
+        assert plan.shape == (P, P, H)
+        # actual per-pair request sizes (recomputed independently)
+        n_local = n_nodes // P
+        src = b.edge_src.astype(np.int64)
+        dst = b.edge_dst.astype(np.int64)
+        total_req = 0
+        for s in range(P):
+            es = src[dst // n_local == s]
+            owners = es // n_local
+            for o in range(P):
+                if o != s:
+                    total_req += np.unique(es[owners == o] - o * n_local).size
+        plan_slots = P * P * H
+        waste = plan_slots / max(total_req, 1)
+        stats[P] = (H, plan.nbytes, waste)
+        # the skew makes the padded plan >=3x the true request volume —
+        # the measured cost of the dense abstraction (pinned, not fixed)
+        assert waste > 3.0, (P, waste)
+        # bytes stay manageable at P<=64 for this graph (the documented
+        # safe envelope; pods with skewed cuts need the ragged plan)
+        assert plan.nbytes < 64 * 1024 * 1024, (P, plan.nbytes)
+    # H is set by the worst pair, NOT by P — the P^2 slot growth is the
+    # whole story (H shrinks roughly with 1/P as per-pair sets thin out)
+    assert stats[64][0] <= stats[32][0], stats
