@@ -85,6 +85,11 @@ def build_args():
     ap.add_argument("--q8", action="store_true",
                     help="with --fuse_gru: int8-quantized node-transform "
                          "table (power-of-2 per-window scales, int8 MXU)")
+    ap.add_argument("--q8_grads", action="store_true",
+                    help="mode=train, backend=window: int8 GRADIENT "
+                         "streams — the fused backward's a-bar cotangent "
+                         "quantized per block (power-of-2 scales, "
+                         "int8-MXU transposed kernel)")
     ap.add_argument("--agg", type=str, default="node_transform",
                     choices=["node_transform", "edge_gather"])
     ap.add_argument("--dtype", type=str, default="bfloat16",
@@ -99,6 +104,9 @@ def build_args():
                          "(recompute aggregation in the backward instead of "
                          "storing per-step activations — HBM-bound configs, "
                          "e.g. 1M nodes)")
+    ap.add_argument("--no_block", action="store_true",
+                    help="backend=onehot: disable the round-8 per-block "
+                         "kernel + octet grad layout (A/B control)")
     ap.add_argument("--legacy_pack", action="store_true",
                     help="backend=onehot: the table-gather layout instead "
                          "of the round-4 typed pack")
@@ -221,6 +229,7 @@ def main() -> int:
                              and not do_pack
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,
+                grad_quant=(args.q8_grads and mode == "train"),
                 row_major=("block" if batch.spec.n_pad % 128 == 0
                            else "src"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
@@ -259,7 +268,8 @@ def main() -> int:
                     batch.edge_src, batch.edge_dst, batch.edge_type,
                     batch.edge_mask, batch.spec.n_pad,
                     n_message_types=2 * args.types,
-                    with_grad=(mode == "train"))
+                    with_grad=(mode == "train"),
+                    block_mode=False if args.no_block else "auto")
 
         ops = (jnp.asarray(batch.annotations), jnp.asarray(batch.edge_src),
                jnp.asarray(batch.edge_dst), jnp.asarray(batch.edge_type),

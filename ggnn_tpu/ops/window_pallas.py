@@ -163,7 +163,8 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                         spill_bwd_pad_tiles_to: int | None = None,
                         typed_spill: bool = False,
                         spill_dst_order: bool = False,
-                        on_demand: bool = False) -> DeviceWindowLayout:
+                        on_demand: bool = False,
+                        grad_quant: bool = False) -> DeviceWindowLayout:
     """Host-side (numpy) layout build: group real edges by
     (dst block, table-row window); tiles holding fewer than
     ``min_edges_per_tile`` edges spill to a per-edge one-hot layout.
@@ -649,9 +650,17 @@ def build_window_layout(edge_src, edge_dst, edge_type, edge_mask,
                      bwd_fwd_stream)
     if on_demand and (t2 * 128) % window:
         raise ValueError("on_demand needs (T2*128) % window == 0")
+    if grad_quant and not (with_grad and grad_meta is not None
+                           and grad_meta[4]):
+        import warnings
+        warnings.warn("grad_quant needs with_grad=True and the fused "
+                      "backward stream; running exact bf16 gradients",
+                      stacklevel=2)
+        grad_quant = False
     lay = DeviceWindowLayout(
         meta=(n_nodes_pad, window, n_tiles, n_blocks, spill_meta, row_major,
-              grad_meta, block_rows, (pack_fwd, pack_bwd), on_demand),
+              grad_meta, block_rows, (pack_fwd, pack_bwd), on_demand,
+              grad_quant),
         arrays=arrays)
     lay.stats = {
         "n_tiles": int(n_tiles), "n_edges": int(n_edges),
@@ -1193,12 +1202,9 @@ def window_block_spmm_ondemand(h, msg_w, msg_b, c_stream, tile_start,
 
 
 def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
-                             tile_start_ref, c_off_ref, dat_hbm, c_hbm,
-                             w_hbm, h_hbm, dht_hbm, dwt_hbm, acc, dht_buf,
-                             dat_buf, c_buf, w_buf, h_buf, dwt_acc, vbuf,
-                             dat_sem,
-                             c_sem, w_sem, h_sem, dh_sem, dw_sem, *, window,
-                             nbuf, n_wins, out_rows, t2, n_src_blocks, wpb):
+                             tile_start_ref, c_off_ref, *rest, window,
+                             nbuf, n_wins, out_rows, t2, n_src_blocks, wpb,
+                             quant=False):
     """Transposed window pass with a FUSED dh/dW epilogue, all in the
     TRANSPOSED orientation so every MXU product is a standard (1,0)
     contraction and the backward reads the FORWARD count stream:
@@ -1223,7 +1229,20 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
     against the precomputed all-edges in-degree (``gt_indeg``) outside.
     Empty windows (no real tiles) skip their zero-init AND their epilogue
     group.  Requires row_major='block', (T2·128) % W == 0, unpacked
-    counts."""
+    counts.
+
+    ``quant`` (round 8, VERDICT r4 #3 — int8 GRADIENT streams): āᵀ
+    arrives int8 with per-ā-block power-of-2 scales (f32, scalar-
+    prefetched like the q8 forward's) — the main product becomes the
+    measured-faster int8×int8→int32 MXU dot (496 vs 612 ns/tile fwd
+    precedent) and the āᵀ slice DMA halves; the scale multiplies the
+    f32 accumulate per tile.  The epilogue is unchanged (f32)."""
+    if quant:
+        scl_ref = rest[0]
+        rest = rest[1:]
+    (dat_hbm, c_hbm, w_hbm, h_hbm, dht_hbm, dwt_hbm, acc, dht_buf,
+     dat_buf, c_buf, w_buf, h_buf, dwt_acc, vbuf, dat_sem,
+     c_sem, w_sem, h_sem, dh_sem, dw_sem) = rest
     t0 = tile_start_ref[0]
     t1 = tile_start_ref[n_wins]
     S = out_rows // 128
@@ -1300,8 +1319,15 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
             m, c = in_dma(slot, t)
             m.wait()
             c.wait()
-            prod = jnp.dot(dat_buf[slot], c_buf[slot].astype(dat_buf.dtype),
-                           preferred_element_type=jnp.float32)
+            if quant:
+                pi = jnp.dot(dat_buf[slot], c_buf[slot],
+                             preferred_element_type=jnp.int32)
+                prod = (pi.astype(jnp.float32)
+                        * scl_ref[win_of_tile_ref[t]])
+            else:
+                prod = jnp.dot(dat_buf[slot],
+                               c_buf[slot].astype(dat_buf.dtype),
+                               preferred_element_type=jnp.float32)
 
             @pl.when(first)
             def _():
@@ -1379,14 +1405,20 @@ def _window_bwd_fused_kernel(block_of_tile_ref, win_of_tile_ref,
 def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
                      win_of_tile, c_off, msg_w, h, n_wins: int, window: int,
                      out_rows: int, t2: int, nbuf: int = 6,
-                     interpret: bool = False):
+                     da_scales=None, interpret: bool = False):
     """Fused backward of the windowed aggregation: returns (dhᵀ [D, N] f32,
     dWᵀ [T2, D, D] f32) without materializing Y (see the kernel
     docstring).  ``da_t`` is the TRANSPOSED cotangent [D, n_blocks·BR];
     ``c_stream`` is the FORWARD count stream with ``c_off`` mapping each
     backward tile to its forward tile; ``window`` = ā block rows (the
-    layout's block_rows), ``out_rows`` = the table window W."""
+    layout's block_rows), ``out_rows`` = the table window W.
+
+    ``da_scales`` [n_blocks] f32 selects the int8-gradient path: ``da_t``
+    is then int8, quantized per ā block with power-of-2 scales (see
+    :func:`quantize_grad_pow2`); the kernel runs int8×int8→int32 MXU
+    dots and rescales at the f32 accumulate."""
     N, D = h.shape
+    quant = da_scales is not None
     if (t2 * 128) % out_rows or out_rows % 128:
         raise ValueError("fused backward needs (T2*128) % W == 0, "
                          "W % 128 == 0")
@@ -1398,7 +1430,7 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
     # epilogue's dhT dot contracts over all (t, f) at once
     wcat = msg_w.transpose(1, 0, 2).reshape(D, t2 * D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5 if quant else 4,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -1425,7 +1457,8 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
     )
     kernel = functools.partial(_window_bwd_fused_kernel, window=window,
                                nbuf=nbuf, n_wins=n_wins, out_rows=out_rows,
-                               t2=t2, n_src_blocks=N // 128, wpb=wpb)
+                               t2=t2, n_src_blocks=N // 128, wpb=wpb,
+                               quant=quant)
     dht, dwt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1440,9 +1473,27 @@ def window_bwd_fused(da_t, c_stream, tile_start, block_of_tile,
             + N * D * (4 + msg_w.dtype.itemsize),
             transcendentals=0,
         ),
-    )(block_of_tile, win_of_tile, tile_start, c_off, da_t, c_stream,
-      wcat, h)
+    )(block_of_tile, win_of_tile, tile_start, c_off,
+      *([da_scales] if quant else []), da_t, c_stream, wcat, h)
     return dht, dwt.reshape(t2, D, D)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def quantize_grad_pow2(da_pad, block_rows: int):
+    """Quantize the aggregation cotangent to int8 per ā BLOCK
+    (``block_rows`` rows share one power-of-2 scale — the granularity the
+    backward kernel's āᵀ slices see).  Returns (q int8 [R, D],
+    scales f32 [R/block_rows]).  Power-of-2 scales make the dequantize a
+    lossless exponent shift (the q8 v2 precedent)."""
+    R, D = da_pad.shape
+    nb = R // block_rows
+    b = da_pad.astype(jnp.float32).reshape(nb, block_rows * D)
+    m = jnp.max(jnp.abs(b), axis=1)
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30) / 127.0))
+    e = jnp.clip(e, -126.0, 126.0)
+    q = jnp.clip(jnp.round(b * jnp.exp2(-e)[:, None]), -127, 127
+                 ).astype(jnp.int8)
+    return q.reshape(R, D), jnp.exp2(e)
 
 
 def _table_block_kernel(h_ref, w_ref, b_ref, out_ref):
@@ -2373,11 +2424,23 @@ def _aggregate_window_bwd(meta, interpret, res, da):
             raise ValueError(
                 f"fused-backward layout mismatch: h has {N} rows but the "
                 f"layout was built for {n_wins * W // T2}")
-        dht, dWt = window_bwd_fused(
-            da_pad.T, arrs["c_stream"], arrs["gt_tile_start"],
-            arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
-            arrs["gt_c_off"], msg_w, h, n_wins=n_wins, window=block_rows,
-            out_rows=W, t2=T2, interpret=interpret)
+        if len(meta) > 10 and meta[10]:
+            # int8 gradient stream (VERDICT r4 #3): quantize ā's
+            # cotangent per block, int8-MXU transposed kernel
+            da_q, da_scl = quantize_grad_pow2(da_f, block_rows)
+            dht, dWt = window_bwd_fused(
+                da_q.T, arrs["c_stream"], arrs["gt_tile_start"],
+                arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+                arrs["gt_c_off"], msg_w, h, n_wins=n_wins,
+                window=block_rows, out_rows=W, t2=T2,
+                da_scales=da_scl, interpret=interpret)
+        else:
+            dht, dWt = window_bwd_fused(
+                da_pad.T, arrs["c_stream"], arrs["gt_tile_start"],
+                arrs["gt_block_of_tile"], arrs["gt_win_of_tile"],
+                arrs["gt_c_off"], msg_w, h, n_wins=n_wins,
+                window=block_rows, out_rows=W, t2=T2,
+                interpret=interpret)
         dh = dht.T
         dW = dWt.transpose(0, 2, 1)
         if dh_sp is not None:
