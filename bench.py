@@ -154,6 +154,7 @@ def main() -> int:
                       fuse_gru: bool | None = None,
                       on_demand: bool | None = None,
                       q8: bool | None = None,
+                      q8g: bool | None = None,
                       xw: bool | None = None,
                       mode: str | None = None,
                       remat: bool | None = None,
@@ -165,6 +166,8 @@ def main() -> int:
             on_demand = args.on_demand
         if q8 is None:
             q8 = args.q8
+        if q8g is None:
+            q8g = args.q8_grads
         if xw is None:
             xw = args.xw_spill
         if mode is None:
@@ -229,7 +232,7 @@ def main() -> int:
                              and not do_pack
                              and batch.spec.n_pad % 128 == 0),
                 on_demand=on_demand,
-                grad_quant=(args.q8_grads and mode == "train"),
+                grad_quant=(q8g and mode == "train"),
                 row_major=("block" if batch.spec.n_pad % 128 == 0
                            else "src"))
             print(f"# window layout: {layout.stats}", file=sys.stderr)
@@ -505,9 +508,23 @@ def main() -> int:
                                      fuse_gru=True, on_demand=False,
                                      q8=False, xw=False, chain=2)
 
+            def _community_train_q8g():
+                # int8 GRADIENT streams (round 8): a-bar cotangent
+                # quantized per block, int8-MXU transposed backward.
+                # 299.4M vs the 277.8M exact control (2026-08-21 A/B);
+                # accuracy-gated by test_q8_accuracy.py (training gate).
+                # Kept separate so window_community_train stays the
+                # exact-bf16 number.
+                return bench_backend("window", batch=_comm_batch(),
+                                     block_rows=512, fuse_gru=True,
+                                     on_demand=True, q8=False,
+                                     mode="train", q8g=True)
+
             plan.append(("window_community", _community))
             plan.append(("window_community_train", _community_train))
             plan.append(("window_community_q8", _community_q8))
+            plan.append(("window_community_train_q8g",
+                         _community_train_q8g))
             plan.append(("window_community_1m", _community_1m))
     else:
         plan.append((args.backend, lambda: bench_backend(args.backend)))
