@@ -104,6 +104,11 @@ def build_args():
                          "(recompute aggregation in the backward instead of "
                          "storing per-step activations — HBM-bound configs, "
                          "e.g. 1M nodes)")
+    ap.add_argument("--lean", action="store_true",
+                    help="backend=onehot train: lean residuals — save "
+                         "(h, a) per step, recompute gates in the "
+                         "backward (targets the scan-context liveness "
+                         "tax, DESIGN.md round 8)")
     ap.add_argument("--no_block", action="store_true",
                     help="backend=onehot: disable the round-8 per-block "
                          "kernel + octet grad layout (A/B control)")
@@ -190,7 +195,9 @@ def main() -> int:
                                     and backend in ("window", "onehot")),
                           quantized_table=(q8 and fuse_gru
                                            and backend == "window"
-                                           and mode == "fwd"))
+                                           and mode == "fwd"),
+                          lean_residuals=(args.lean
+                                          and backend == "onehot"))
         if q8 and not cfg.quantized_table:
             # ADVICE r3: never let a --q8 run silently record a plain
             # bf16 number — q8 is serving-only (fwd + fuse_gru + window)

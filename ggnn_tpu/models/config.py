@@ -46,6 +46,12 @@ class ModelConfig:
     quantized_table: bool = False  # fuse_gru serving: int8 node-transform
                                   # table with power-of-2 per-window scales
                                   # (int8 MXU dots; ~0.5% aggregation noise)
+    lean_residuals: bool = False  # typed fused train: save only (h, a)
+                                  # per step and RECOMPUTE z/r/h-tilde in
+                                  # the backward (3 cheap matmuls) — cuts
+                                  # the stacked residual footprint 2.5×;
+                                  # targets the measured backward-chain
+                                  # liveness tax (DESIGN.md round 8)
     param_dtype: str = "float32"
 
     def __post_init__(self):

@@ -176,9 +176,9 @@ def fuse_gru(gru: dict) -> tuple:
     return w_a, b_all, u_zr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
-                      b_all, u_zr, uh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _typed_fused_step(meta, interpret, mdt, lean, arrs, h, msg_w, msg_b,
+                      w_a, b_all, u_zr, uh):
     """Fused typed-pack aggregation + GRU step (onehot backend,
     ``cfg.fuse_gru``): the PRIMAL runs ops.scatter_pallas.typed_step_gru
     — the GRU executes in the scatter kernel's epilogue on the
@@ -246,22 +246,44 @@ def _typed_fused_step(meta, interpret, mdt, arrs, h, msg_w, msg_b, w_a,
     return jnp.concatenate(outs, axis=0)[:N]
 
 
-def _typed_fused_step_fwd(meta, interpret, mdt, arrs, h, msg_w, msg_b,
-                          w_a, b_all, u_zr, uh):
+def _typed_fused_step_fwd(meta, interpret, mdt, lean, arrs, h, msg_w,
+                          msg_b, w_a, b_all, u_zr, uh):
     from ggnn_tpu.ops.scatter_pallas import _aggregate_impl
     a = _aggregate_impl(meta, interpret, arrs, h.astype(msg_w.dtype),
                         msg_w, msg_b)
     out, z, r, htil = _gru_fwd_math(mdt, w_a, b_all, u_zr, uh, h, a)
     rdt = h.dtype if mdt is None else mdt
+    if lean:
+        # LEAN residuals (round 8): the backward-chain's buffer LIVENESS
+        # — not scan machinery — was measured as a ~16 ms/prop-step tax
+        # at the 262K headline (docs/DESIGN.md "scan-context tax").
+        # Save only (h, a) per step and recompute z/r/h̃ in the backward
+        # (3 matmuls ≈ 0.6 ms): stacked residuals drop 335 → 134 MB/step.
+        res = (arrs, h.astype(msg_w.dtype), msg_w, w_a, b_all, u_zr, uh,
+               jnp.zeros((), h.dtype), a.astype(rdt),
+               jnp.zeros((), a.dtype))
+        return out, res
     res = (arrs, h.astype(msg_w.dtype), msg_w, w_a, u_zr, uh,
            jnp.zeros((), h.dtype), a.astype(rdt), jnp.zeros((), a.dtype),
            z.astype(rdt), r.astype(rdt), htil.astype(rdt))
     return out, res
 
 
-def _typed_fused_step_bwd(meta, interpret, mdt, res, g):
+def _typed_fused_step_bwd(meta, interpret, mdt, lean, res, g):
     from ggnn_tpu.ops.scatter_pallas import _aggregate_bwd
-    (arrs, hc, msg_w, w_a, u_zr, uh, h_wit, a, a_wit, z, r, htil) = res
+    if lean:
+        (arrs, hc, msg_w, w_a, b_all, u_zr, uh, h_wit, a, a_wit) = res
+        # recompute the gates from the narrow (h, a) — the fwd's matmuls
+        # cast their inputs to mdt anyway, so this matches the saved
+        # gates up to elementwise rounding
+        _, z, r, htil = _gru_fwd_math(mdt, w_a, b_all, u_zr, uh,
+                                      hc.astype(jnp.float32),
+                                      a.astype(jnp.float32))
+        rdt = hc.dtype
+        z, r, htil = z.astype(rdt), r.astype(rdt), htil.astype(rdt)
+    else:
+        (arrs, hc, msg_w, w_a, u_zr, uh, h_wit, a, a_wit, z, r,
+         htil) = res
     gres = (w_a, u_zr, uh, hc, h_wit, a, a_wit, z, r, htil)
     dwa, db3, duzr, duh, dh1, da = _gru_core_bwd(mdt, gres, g)
     d_arrs, dh2, dW, dbm = _aggregate_bwd(
@@ -355,8 +377,9 @@ def propagate(prop: dict, cfg: ModelConfig, annotations: jax.Array,
 
             def step(h, _):
                 h_new = _typed_fused_step(
-                    scatter_layout.meta, itp, mdt_f, scatter_layout.arrays,
-                    h, msg_w_c, msg_b_c, *fused, prop["gru"]["uh"])
+                    scatter_layout.meta, itp, mdt_f, cfg.lean_residuals,
+                    scatter_layout.arrays, h, msg_w_c, msg_b_c, *fused,
+                    prop["gru"]["uh"])
                 return h_new, h_new if collect_states else None
 
             if cfg.remat and not collect_states:

@@ -483,3 +483,42 @@ def test_typed_block_mode_hub_fallback():
     got = aggregate_onehot(h, lay, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_typed_lean_residuals_parity(rng):
+    """Lean residuals (round 8: save (h, a) only, recompute gates in the
+    backward): value identical, gradients within elementwise-rounding
+    tolerance of the full-residual path."""
+    from ggnn_tpu.models import propagate
+    from ggnn_tpu.ops.scatter_pallas import build_typed_dst_layout
+    N, E, T, D = 512, 3000, 3, 128
+    T2 = 2 * T
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    typ = rng.integers(0, T2, E).astype(np.int32)
+    mask = (rng.random(E) < 0.9).astype(np.float32)
+    lay = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                 with_grad=True)
+    mk = dict(state_dim=D, annotation_dim=4, n_edge_types=T, n_steps=3,
+              backend="onehot", fuse_gru=True, compute_dtype="bfloat16")
+    cfg_n = ModelConfig(**mk)
+    cfg_l = ModelConfig(**mk, lean_residuals=True)
+    params = init_params(jax.random.PRNGKey(0), cfg_n)
+    ann = jnp.asarray((np.random.default_rng(1).random((N, 4)) < 0.4)
+                      .astype(np.float32))
+    args = (ann, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(typ),
+            jnp.asarray(mask))
+
+    def loss(cfg):
+        def f(p):
+            h = propagate(p, cfg, *args, scatter_layout=lay)
+            return jnp.sum(h * h)
+        return f
+
+    vn, gn = jax.value_and_grad(loss(cfg_n))(params["prop"])
+    vl, gl = jax.value_and_grad(loss(cfg_l))(params["prop"])
+    np.testing.assert_array_equal(float(vn), float(vl))  # primal exact
+    for a_, b_ in zip(jax.tree.leaves(gn), jax.tree.leaves(gl)):
+        a_, b_ = np.asarray(a_, np.float64), np.asarray(b_, np.float64)
+        rel = np.linalg.norm(a_ - b_) / (np.linalg.norm(a_) + 1e-12)
+        assert rel < 5e-3, rel
