@@ -522,3 +522,46 @@ def test_typed_lean_residuals_parity(rng):
         a_, b_ = np.asarray(a_, np.float64), np.asarray(b_, np.float64)
         rel = np.linalg.norm(a_ - b_) / (np.linalg.norm(a_) + 1e-12)
         assert rel < 5e-3, rel
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_typed_block_octet_fuzz(seed):
+    """Fuzz the round-8 block + octet machinery: random graph shapes
+    (odd block counts, empty groups, B_g not a multiple of 8) must stay
+    bit-identical to the per-tile kernels, fwd and dh/dW/db."""
+    from ggnn_tpu.ops.scatter_pallas import (aggregate_onehot,
+                                             build_typed_dst_layout)
+    r = np.random.default_rng(seed)
+    N = 128 * int(r.integers(2, 8))
+    E = int(r.integers(800, 6000))
+    T2 = int(r.integers(2, 11))
+    D = 128
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = r.integers(0, N, E).astype(np.int32)
+    typ = r.integers(0, T2, E).astype(np.int32)
+    mask = (r.random(E) < 0.85).astype(np.float32)
+    lay_b = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True)
+    lay_t = build_typed_dst_layout(src, dst, typ, mask, N, T2,
+                                   with_grad=True, block_mode=False)
+    if lay_b.meta[10] is None:
+        pytest.skip("auto declined block mode for this topology")
+    assert lay_b.meta[5][0] == "octet"
+    w = jax.random.normal(jax.random.PRNGKey(seed), (T2, D, D)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(seed + 1), (T2, D)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(seed + 2), (N, D))
+    ref = aggregate_onehot(h, lay_t, w, b, interpret=True)
+    got = aggregate_onehot(h, lay_b, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def lfun(lay):
+        def f(h_, w_, b_):
+            return jnp.sum(aggregate_onehot(h_, lay, w_, b_,
+                                            interpret=True) ** 2)
+        return f
+
+    g_t = jax.grad(lfun(lay_t), argnums=(0, 1, 2))(h, w, b)
+    g_b = jax.grad(lfun(lay_b), argnums=(0, 1, 2))(h, w, b)
+    for a_, c_, name in zip(g_b, g_t, ("dh", "dW", "db")):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(c_),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
