@@ -125,6 +125,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
 
     n_local = parts.n_local
     H = parts.halo_size
+    Hh = parts.hot_size
 
     lay_arrays, lay_meta = _resolve_layouts(strategy, parts, cfg,
                                             halo_layouts, scatter_tile_e)
@@ -132,14 +133,16 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         interpret = jax.default_backend() != "tpu"
 
     def body(prop, ann, ngraph, nmask, src_g, src_h, dst_l, etype, emask,
-             send_idx, loc, rem, karr, nfa):
+             send_idx, hot_ids, loc, rem, karr, nfa):
         # shapes inside: ann [1, n_local, A], edges [1, E_l],
-        # send_idx [1, P, H] (this shard's owner-row of the send plan)
+        # send_idx [1, P, H] (this shard's owner-row of the send plan),
+        # hot_ids [1, Hh] (this shard's hot local rows — all_gathered)
         ann = ann[0]
         ngraph, nmask = ngraph[0], nmask[0]
         src_g, src_h = src_g[0], src_h[0]
         dst_l, etype, emask = dst_l[0], etype[0], emask[0]
         send_idx = send_idx[0]
+        hot_ids = hot_ids[0]
         fused = fuse_gru(prop["gru"])
         h0 = init_state(ann, cfg.state_dim)
         cdt = jnp.dtype(cfg.compute_dtype)
@@ -148,17 +151,25 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
         def exchange(h_local):
             # halo states travel in the compute dtype (bf16 halves ICI/DCN
             # bytes); accumulation stays f32 downstream.  Self-edges are NOT
-            # exchanged: the pool is [recv ∥ h_local] and their halo coords
-            # index past P·H (keeps clustered-graph exchanges proportional
-            # to the true cross-shard traffic).
+            # exchanged: the pool is [hot ∥ recv ∥ h_local] and their halo
+            # coords index past P·Hh + P·H (keeps clustered-graph exchanges
+            # proportional to the true cross-shard traffic).  The HOT
+            # segment (rows many shards request — hot_thresh partitioning)
+            # rides ONE all_gather instead of padding every all-to-all
+            # pair to the worst request (the pod-scale skew fix).
+            segs = []
+            if Hh > 0:
+                mine = h_local.astype(cdt)[hot_ids]           # [Hh, D]
+                segs.append(jax.lax.all_gather(
+                    mine, axis_name, tiled=True))             # [P·Hh, D]
             send = h_local.astype(cdt)[send_idx.reshape(-1)].reshape(
                 send_idx.shape[0], H, -1)                     # [P, H, D]
             recv = jax.lax.all_to_all(
                 send, axis_name, split_axis=0, concat_axis=0,
                 tiled=False)                                  # [P, H, D]
-            return jnp.concatenate(
-                [recv.reshape(-1, h_local.shape[-1]),
-                 h_local.astype(cdt)], axis=0)                # [P·H+n_local, D]
+            segs += [recv.reshape(-1, h_local.shape[-1]),
+                     h_local.astype(cdt)]
+            return jnp.concatenate(segs, axis=0)  # [P·Hh+P·H+n_local, D]
 
         def step(h_local, _):
             if strategy == "all_gather":
@@ -251,6 +262,7 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name),
                   P()),                    # node_fn_args replicated
         out_specs=P(axis_name),
         check_vma=False,
@@ -263,10 +275,12 @@ def sharded_propagate(prop: dict, cfg: ModelConfig, mesh,
     loc = parts.local_edges if strategy == "halo_overlap" else zdict
     rem = parts.remote_edges if overlap else zdict
     karr = lay_arrays if strategy in ("halo_onehot", "halo_window") else {}
+    hot = (parts.hot_idx if parts.hot_idx is not None
+           else np.zeros((parts.n_shards, 0), np.int32))
     out = shard(prop, parts.annotations, parts.node_graph, parts.node_mask,
                 parts.edge_src_global, parts.edge_src_halo,
                 parts.edge_dst_local, parts.edge_type, parts.edge_mask,
-                parts.halo_send_idx, loc, rem, karr, node_fn_args)
+                parts.halo_send_idx, hot, loc, rem, karr, node_fn_args)
     if node_fn is not None or body_fn is not None:
         return out
     return out.reshape(-1, out.shape[-1])

@@ -54,6 +54,20 @@ class PartitionedBatch:
     # split_local_remote(); None until then.
     local_edges: "dict | None" = None   # src (shard-local ids), dst, type, mask
     remote_edges: "dict | None" = None  # src (halo coords), dst, type, mask
+    # HOT-SET hybrid exchange (round 8, pod-scale skew — DESIGN.md "halo
+    # plan scaling bound"): rows requested by >= hot_thresh distinct
+    # shards ride ONE all_gather (no P^2 pair padding); only the cold
+    # tail stays in the deduplicated all-to-all, whose H collapses on a
+    # skewed cut.  Pool = [hot (P*Hh) || recv (P*H) || h_local];
+    # hot_size == 0 means the plain dense plan (exact back-compat).
+    hot_size: int = 0              # Hh (static)
+    hot_idx: "np.ndarray | None" = None  # [P, Hh] owner's hot local ids
+
+    @property
+    def pool_rows(self) -> int:
+        """Rows of the per-shard gather pool the halo coords index."""
+        return (self.n_shards * self.hot_size
+                + self.n_shards * self.halo_size + self.n_local)
 
     @property
     def arrays(self) -> dict:
@@ -65,7 +79,8 @@ class PartitionedBatch:
 _PB_ARRAY_FIELDS = ("annotations", "node_mask", "node_graph",
                     "edge_src_global", "edge_src_halo", "edge_dst_local",
                     "edge_type", "edge_mask", "type_offsets",
-                    "halo_send_idx", "local_edges", "remote_edges")
+                    "halo_send_idx", "local_edges", "remote_edges",
+                    "hot_idx")
 
 # registered pytree (arrays = leaves, sizes = static aux) so a
 # PartitionedBatch can pass through jit ARGUMENTS — closure-captured
@@ -76,21 +91,30 @@ import jax as _jax  # noqa: E402
 _jax.tree_util.register_pytree_node(
     PartitionedBatch,
     lambda p: (tuple(getattr(p, f) for f in _PB_ARRAY_FIELDS),
-               (p.n_shards, p.n_local, p.halo_size)),
+               (p.n_shards, p.n_local, p.halo_size, p.hot_size)),
     lambda aux, children: PartitionedBatch(
         n_shards=aux[0], n_local=aux[1], halo_size=aux[2],
+        hot_size=aux[3],
         **dict(zip(_PB_ARRAY_FIELDS, children))))
 
 
 def partition_batch(batch: GraphBatch, n_shards: int,
                     edge_mult: int = 8,
-                    use_native: bool | None = None) -> PartitionedBatch:
+                    use_native: bool | None = None,
+                    hot_thresh: int | None = None) -> PartitionedBatch:
+    """``hot_thresh``: enable the HOT-SET hybrid exchange — owner rows
+    requested by >= hot_thresh distinct shards are served by one
+    all_gather instead of padding every all-to-all pair to them (the
+    pod-scale skew fix, DESIGN.md "halo plan scaling bound").  Forces
+    the pure-python plan builder (the C++ planner builds dense plans)."""
     spec = batch.spec
     if spec.n_pad % n_shards:
         raise ValueError(f"n_pad={spec.n_pad} not divisible by P={n_shards}")
     n_local = spec.n_pad // n_shards
     T2 = spec.n_message_types
     rup = lambda x, m: ((x + m - 1) // m) * m
+    if hot_thresh is not None:
+        use_native = False
 
     if use_native is not False:
         from ggnn_tpu import native
@@ -141,6 +165,21 @@ def partition_batch(batch: GraphBatch, n_shards: int,
                 reqs.append(np.unique(es[owners == o] - o * n_local))
         requests.append(reqs)
 
+    # hot-set extraction: rows many shards want leave the pairwise plan
+    hot_sets = [np.zeros(0, np.int64) for _ in range(n_shards)]
+    Hh = 0
+    if hot_thresh is not None and n_shards > 1:
+        for o in range(n_shards):
+            all_req = np.concatenate(
+                [requests[s][o] for s in range(n_shards)])
+            ids, cnt = np.unique(all_req, return_counts=True)
+            hot_sets[o] = ids[cnt >= hot_thresh]   # sorted (np.unique)
+        for s in range(n_shards):
+            for o in range(n_shards):
+                requests[s][o] = np.setdiff1d(requests[s][o], hot_sets[o])
+        Hh = max((h_.size for h_ in hot_sets), default=0)
+        Hh = rup(Hh, 8) if Hh else 0
+
     H = max((len(r) for reqs in requests for r in reqs), default=1)
     H = max(rup(H, 8), 8)
     e_local = max(rup(max((len(p[0]) for p in per_shard), default=1), edge_mult),
@@ -169,17 +208,33 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         np.cumsum(counts, out=type_offsets[s, 1:])
         owners = es // n_local
         halo = np.empty(m, np.int64)
+        hot_base = n_shards * Hh      # recv segment starts after hot
         for o in range(n_shards):
             osel = owners == o
             if o == s:
-                # self-edges index past the receive buffer into h_local
-                halo[osel] = n_shards * H + (es[osel] - s * n_local)
+                # self-edges index past hot + receive into h_local
+                halo[osel] = hot_base + n_shards * H \
+                    + (es[osel] - s * n_local)
                 continue
             req = requests[s][o]
             halo_send_idx[o, s, :len(req)] = req
-            pos = np.searchsorted(req, es[osel] - o * n_local)
-            halo[osel] = o * H + pos
+            loc_ids = es[osel] - o * n_local
+            pos = np.searchsorted(req, loc_ids)
+            coord = hot_base + o * H + np.minimum(pos, max(len(req) - 1, 0))
+            hs = hot_sets[o]
+            if hs.size:
+                hp = np.searchsorted(hs, loc_ids)
+                is_hot = (hp < hs.size) & (
+                    hs[np.minimum(hp, hs.size - 1)] == loc_ids)
+                coord = np.where(is_hot, o * Hh + hp, coord)
+            halo[osel] = coord
         edge_src_halo[s, :m] = halo
+
+    hot_idx = None
+    if Hh:
+        hot_idx = np.zeros((n_shards, Hh), np.int32)
+        for o in range(n_shards):
+            hot_idx[o, :hot_sets[o].size] = hot_sets[o]
 
     return PartitionedBatch(
         n_shards=n_shards, n_local=n_local, halo_size=H,
@@ -187,7 +242,7 @@ def partition_batch(batch: GraphBatch, n_shards: int,
         edge_src_global=edge_src_global, edge_src_halo=edge_src_halo,
         edge_dst_local=edge_dst_local, edge_type=edge_type,
         edge_mask=edge_mask, type_offsets=type_offsets,
-        halo_send_idx=halo_send_idx)
+        halo_send_idx=halo_send_idx, hot_size=Hh, hot_idx=hot_idx)
 
 
 def split_local_remote(parts: PartitionedBatch,
@@ -263,7 +318,7 @@ def build_halo_scatter_layouts(parts: PartitionedBatch, tile_e: int = 128,
         raise ValueError(
             f"halo_onehot needs n_local % {BLOCK_N} == 0, got {n_local}")
     T2 = parts.type_offsets.shape[1] - 1
-    n_src = P * H + n_local
+    n_src = parts.pool_rows          # [hot ∥ recv ∥ h_local]
     e_local = parts.edge_src_halo.shape[1]
     budget = static_tile_budget(e_local, n_local, tile_e)
     g_budget = (static_tile_budget(e_local, _rup_block(T2 * n_src),

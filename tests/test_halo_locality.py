@@ -100,3 +100,83 @@ def test_halo_plan_size_scaling_skewed():
     # H is set by the worst pair, NOT by P — the P^2 slot growth is the
     # whole story (H shrinks roughly with 1/P as per-pair sets thin out)
     assert stats[64][0] <= stats[32][0], stats
+
+
+def test_hot_set_exchange_parity_and_plan_collapse():
+    """Round-8 HOT-SET hybrid exchange (partition_batch(hot_thresh=k)):
+    rows requested by >= k shards ride one all_gather; the pairwise
+    all-to-all keeps only the cold tail.  On a hub-skewed cut the
+    pairwise H must COLLAPSE, and propagation must stay bit-comparable
+    to the dense plan and to the unsharded reference."""
+    import jax
+    P = 8
+    b = _skewed_batch(1024, 16384, P, seed=5)
+    cfg = ModelConfig(state_dim=16, annotation_dim=2, n_edge_types=2,
+                      n_steps=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = np.asarray(propagate(
+        params["prop"], cfg, b.annotations, b.edge_src, b.edge_dst,
+        b.edge_type, b.edge_mask))
+    mesh = make_mesh(n_graph=P)
+    dense = partition_batch(b, P)
+    hot = partition_batch(b, P, hot_thresh=3)
+    assert hot.hot_size > 0 and hot.hot_idx is not None
+    # the pairwise plan collapses: hot absorbs the hub rows every shard
+    # wanted, so the max pairwise request shrinks a lot
+    assert hot.halo_size < 0.5 * dense.halo_size, (
+        hot.halo_size, dense.halo_size)
+    # total exchanged slots shrink too (P*Hh + P^2*H' < P^2*H)
+    slots_dense = P * P * dense.halo_size
+    slots_hot = P * hot.hot_size + P * P * hot.halo_size
+    assert slots_hot < 0.6 * slots_dense, (slots_hot, slots_dense)
+    for strategy in ("halo", "halo_overlap"):
+        got_d = np.asarray(sharded_propagate(
+            params["prop"], cfg, mesh, dense, strategy=strategy))
+        got_h = np.asarray(sharded_propagate(
+            params["prop"], cfg, mesh, hot, strategy=strategy))
+        np.testing.assert_allclose(got_d, ref, rtol=3e-5, atol=3e-6,
+                                   err_msg=strategy)
+        np.testing.assert_allclose(got_h, ref, rtol=3e-5, atol=3e-6,
+                                   err_msg=strategy + "+hot")
+
+
+def test_hot_set_halo_onehot_and_grads():
+    """Hot-set pool composition through the halo_onehot KERNEL strategy
+    (layouts built over the [hot || recv || local] pool) and through a
+    sharded TRAIN step — gradients must match the dense-plan path."""
+    import jax
+    import optax
+    from ggnn_tpu.parallel import make_sharded_train_step
+    from ggnn_tpu.parallel.partition import build_halo_scatter_layouts
+    P = 4
+    b = _skewed_batch(1024, 8192, P, seed=6)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=2,
+                      n_steps=2, compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_graph=P)
+    dense = partition_batch(b, P)
+    hot = partition_batch(b, P, hot_thresh=2)
+    assert hot.hot_size > 0
+    outs = {}
+    trained = {}
+    for name, parts in (("dense", dense), ("hot", hot)):
+        arrs, meta = build_halo_scatter_layouts(parts, with_grad=True)
+        outs[name] = np.asarray(sharded_propagate(
+            params["prop"], cfg, mesh, parts, strategy="halo_onehot",
+            halo_layouts=(arrs, meta)))
+        opt = optax.adam(1e-3)
+        step = make_sharded_train_step(cfg, mesh, opt,
+                                       strategy="halo_onehot",
+                                       halo_meta=meta)
+        opt_state = opt.init(params["prop"])
+        new_prop, _, loss = step(params["prop"], opt_state, parts,
+                                 halo_arrays=arrs)
+        trained[name] = (new_prop, float(loss))
+    np.testing.assert_allclose(outs["hot"], outs["dense"], rtol=3e-5,
+                               atol=3e-6)
+    np.testing.assert_allclose(trained["hot"][1], trained["dense"][1],
+                               rtol=1e-5)
+    for a_, b_ in zip(jax.tree.leaves(trained["hot"][0]),
+                      jax.tree.leaves(trained["dense"][0])):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)
