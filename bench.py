@@ -445,6 +445,13 @@ def main() -> int:
         plan.append(("onehot", lambda: bench_backend("onehot")))
         plan.append(("xla", lambda: bench_backend("xla")))
         if default_cfg:
+            # uniform TRAIN record (round 8): full fwd+bwd+Adam through
+            # the block fwd scatter + octet grad kernels — so the
+            # driver's artifact carries the adversarial-graph training
+            # number too (127.1M measured 2026-08-21)
+            plan.append(("onehot_train",
+                         lambda: bench_backend("onehot", mode="train")))
+        if default_cfg:
             comm_cache = []
 
             def _comm_batch():

@@ -355,7 +355,8 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
                               with_grad: bool = False,
                               row_major: str = "src",
                               typed_spill: bool = False,
-                              on_demand: bool = False):
+                              on_demand: bool = False,
+                              grad_quant: bool = False):
     """Per-shard WINDOWED layouts over the shard-LOCAL edges for the
     'halo_window' strategy: community-partitioned shards aggregate their
     intra-shard edges through the block-CSR windowed kernel
@@ -410,7 +411,8 @@ def build_halo_window_layouts(parts: PartitionedBatch, window: int = 512,
             force_spill=True, with_grad=with_grad,
             gt_pad_tiles_to=gt_pad, spill_bwd_bucket=sb_bucket,
             spill_bwd_tile_e=sb_tile, spill_bwd_pad_tiles_to=sb_pad,
-            typed_spill=typed_spill, on_demand=on_demand)
+            typed_spill=typed_spill, on_demand=on_demand,
+            grad_quant=grad_quant)
 
     first = [build(s) for s in range(P)]
     n_tiles = max(l.n_tiles for l in first)

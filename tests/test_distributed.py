@@ -734,3 +734,54 @@ def test_sharded_eval_step_matches_single_device(rng):
         for k in ("loss_sum", "correct", "count"):
             np.testing.assert_allclose(float(m2[k]), float(m1[k]),
                                        rtol=3e-4, err_msg=f"{head}:{k}")
+
+
+def test_sharded_grad_quant_training(rng):
+    """Sharded halo_window TRAINING with int8 GRADIENT streams
+    (build_halo_window_layouts(grad_quant=True) — the round-8 q8-grad
+    path per shard inside shard_map): one optimizer step tracks the
+    single-device exact-gradient path within the q8-grad budget."""
+    import optax
+
+    from ggnn_tpu.data.synthetic import synthetic_batch
+    from ggnn_tpu.parallel import make_sharded_train_step
+    from ggnn_tpu.parallel.partition import (build_halo_window_layouts,
+                                             split_local_remote)
+
+    b = synthetic_batch(1024, 6000, 3, annotation_dim=2, seed=7,
+                        node_mult=1024, n_communities=8, p_intra=0.7)
+    cfg = ModelConfig(state_dim=8, annotation_dim=2, n_edge_types=3,
+                      n_steps=3, compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    prop = params["prop"]
+    parts = split_local_remote(partition_batch(b, 8))
+    arrays, meta = build_halo_window_layouts(
+        parts, window=128, min_edges_per_tile=4, spill_tile_e=16,
+        n_message_types=cfg.n_message_types, with_grad=True,
+        row_major="block", grad_quant=True)
+    assert meta["full_meta"][10] is True       # grad_quant engaged
+
+    optimizer = optax.adam(1e-2)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(cfg, mesh, optimizer,
+                                   strategy="halo_window", halo_meta=meta)
+    new_prop, _, loss_sh = step(prop, optimizer.init(prop), parts, arrays)
+
+    import jax.numpy as jnp
+
+    def loss_single(p):
+        h = propagate(p, cfg, jnp.asarray(b.annotations),
+                      jnp.asarray(b.edge_src), jnp.asarray(b.edge_dst),
+                      jnp.asarray(b.edge_type), jnp.asarray(b.edge_mask))
+        return jnp.sum(h * h)
+
+    loss_ref, g_ref = jax.value_and_grad(loss_single)(prop)
+    # primal: quant touches gradients only, but sharded-vs-single bf16
+    # rounding differs (~0.1% — the window path reorders accumulation)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=5e-3)
+    upd_ref, _ = optimizer.update(g_ref, optimizer.init(prop), prop)
+    ref_prop = optax.apply_updates(prop, upd_ref)
+    for a_, c_ in zip(jax.tree.leaves(new_prop), jax.tree.leaves(ref_prop)):
+        a_, c_ = np.asarray(a_, np.float64), np.asarray(c_, np.float64)
+        rel = np.linalg.norm(a_ - c_) / (np.linalg.norm(c_) + 1e-12)
+        assert rel < 0.05, rel
