@@ -1204,6 +1204,14 @@ def build_typed_dst_layout(edge_src, edge_dst, edge_type, edge_mask,
             "block_mode=True cannot be honored (needs edge_align=16 and "
             f"max block span {span_rows} <= {SPAN_ROW_CAP}); falling back "
             "to the per-tile kernel", stacklevel=2)
+    if span_mode is True and block_ok:
+        # ADVICE r4: never let an explicit request silently measure a
+        # different path — the block kernel supersedes span mode
+        import warnings
+        warnings.warn(
+            "span_mode=True is superseded by block mode (engaged); pass "
+            "block_mode=False to A/B the per-tile span kernel",
+            stacklevel=2)
     span_auto = span_mode == "auto"
     span_mode = ((True if span_auto else bool(span_mode))
                  and (A == 16) and span_rows <= SPAN_ROW_CAP
