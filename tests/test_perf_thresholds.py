@@ -47,6 +47,12 @@ CASES = [
         marks=pytest.mark.quick),
     ("scalefree_fwd_window",
      ["--backend", "window", "--powerlaw", "1.2", "--on_demand"], 167e6),
+    # scale-free through the typed ONEHOT path (block auto declines on
+    # the hub -> chunked per-tile): 217.1M measured 2026-08-21 — a new
+    # scale-free record, above the window backend's 209.0M; the typed
+    # pack was never benchmarked on this graph class before round 8
+    ("scalefree_fwd_onehot",
+     ["--backend", "onehot", "--powerlaw", "1.2"], 195e6),
     # q8 serving v2 (values-only int8 table + int8-MXU window dots + XW
     # spill): 893.0M measured 2026-08-20 vs 872.7M bf16-table A/B
     ("community_fwd_window_q8",
